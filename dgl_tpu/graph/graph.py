@@ -1,0 +1,267 @@
+"""Immutable TPU-native graph tensor.
+
+This is the core data structure of the framework — the equivalent of the
+graph object the reference suite gets from DGL (``dgl.graph`` /
+``dgl.heterograph``; see reference usage at
+``end_to_end/full_graph/node_classification/main_dgl_citation_sage.py:190-191``
+and format control at ``main_dgl_product_sage.py:158``).
+
+Design (TPU-first, not a port):
+
+* **Immutable pytree.** JAX traces pure functions; DGL's mutable
+  ``g.ndata['h'] = x`` style does not fit. A :class:`Graph` is a frozen
+  dataclass registered as a pytree; features flow through functional ops
+  (``dgl_tpu.ops``) instead of being stored on the graph.
+* **Static shapes.** XLA compiles one program per shape. Edge arrays are
+  padded to a fixed length (multiple of 128 lanes); padded edges carry the
+  sentinel ``dst == num_dst_nodes`` so out-of-range scatter *drops* them for
+  free inside ``jax.ops.segment_sum`` — no mask multiply on the hot path.
+* **dst-sorted canonical order.** All reductions in message passing are
+  "reduce by destination"; keeping edges sorted by ``dst`` lets every
+  segment reduction use ``indices_are_sorted=True`` and gives CSR-like
+  locality for the Pallas kernels. The transpose (needed for backward
+  scatter-by-src) is a precomputed ``reverse()`` graph, mirroring how DGL
+  keeps CSR+CSC (``.formats(['csr','csc'])``).
+* **Bipartite by construction.** ``num_src_nodes``/``num_dst_nodes`` may
+  differ, which makes sampled message-flow "blocks"
+  (``dgl.to_block`` in ``ns-gat-dgl.py:36``) the same type as full graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "Graph",
+    "from_edges",
+    "from_scipy_coo",
+    "pad_length",
+]
+
+# Lane width of the TPU VPU; edge arrays are padded to a multiple of this so
+# every kernel sees aligned tiles.
+_LANES = 128
+
+
+def pad_length(n: int, multiple: int = _LANES) -> int:
+    """Round ``n`` up to a multiple (minimum one full tile)."""
+    if n <= 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Static-shape directed (possibly bipartite) graph.
+
+    Arrays (pytree leaves):
+      src:      (E_pad,) int32 — source node id per edge, dst-sorted order.
+                Padding entries hold ``num_src_nodes`` (clamped on gather,
+                dropped on scatter).
+      dst:      (E_pad,) int32 — destination node id per edge, ascending.
+                Padding entries hold ``num_dst_nodes``.
+      indptr:   (num_dst_nodes + 1,) int32 — CSC-style in-edge offsets:
+                edges with destination ``v`` live at ``indptr[v]:indptr[v+1]``.
+      eid:      (E_pad,) int32 — original (input-order) edge id for each
+                stored edge, so edge features supplied in input order can be
+                permuted into canonical order (``permute_edata``). Padding
+                entries hold ``num_edges`` (the first padded slot).
+
+    Static metadata (aux data, baked into the compiled program):
+      num_src_nodes, num_dst_nodes: int
+      num_edges: int — number of *valid* edges (≤ E_pad).
+
+    ``reverse`` is the transpose graph (src/dst swapped, re-sorted); it is a
+    nested pytree leaf-holder used by backward passes and by ops that reduce
+    by source. It is built host-side by :func:`from_edges`.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    indptr: jnp.ndarray
+    eid: jnp.ndarray
+    num_src_nodes: int
+    num_dst_nodes: int
+    num_edges: int
+    reverse: Optional["Graph"] = None
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.src, self.dst, self.indptr, self.eid, self.reverse)
+        aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        src, dst, indptr, eid, reverse = leaves
+        n_src, n_dst, n_e = aux
+        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse)
+
+    # -- basic properties --------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        """Node count for homogeneous graphs (src set == dst set)."""
+        assert self.num_src_nodes == self.num_dst_nodes, (
+            "num_nodes is ambiguous on a bipartite graph; use "
+            "num_src_nodes / num_dst_nodes"
+        )
+        return self.num_dst_nodes
+
+    @property
+    def num_edges_padded(self) -> int:
+        return int(self.src.shape[0])
+
+    @property
+    def is_block(self) -> bool:
+        return self.num_src_nodes != self.num_dst_nodes
+
+    # -- derived quantities (jit-safe) ------------------------------------
+    def in_degrees(self) -> jnp.ndarray:
+        """(num_dst_nodes,) int32 — number of valid in-edges per destination.
+
+        Reference capability: ``g.in_degrees()``
+        (``main_dgl_enzymes_gcn.py:34``).
+        """
+        return self.indptr[1:] - self.indptr[:-1]
+
+    def out_degrees(self) -> jnp.ndarray:
+        """(num_src_nodes,) int32 — number of valid out-edges per source."""
+        if self.reverse is not None:
+            return self.reverse.in_degrees()
+        ones = jnp.ones(self.src.shape, dtype=jnp.int32)
+        return jax.ops.segment_sum(ones, self.src, num_segments=self.num_src_nodes)
+
+    def edge_mask(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(E_pad,) — 1 for valid edges, 0 for padding."""
+        return (self.dst < self.num_dst_nodes).astype(dtype)
+
+    def permute_edata(self, edata: jnp.ndarray, fill=0) -> jnp.ndarray:
+        """Permute input-order edge features into canonical (dst-sorted) order.
+
+        ``edata`` has leading dim ``num_edges`` (or ``E_pad``); output has
+        leading dim ``E_pad`` with ``fill`` in padding slots.
+        """
+        gathered = jnp.take(edata, jnp.minimum(self.eid, edata.shape[0] - 1), axis=0)
+        mask = (self.eid < self.num_edges).reshape((-1,) + (1,) * (edata.ndim - 1))
+        return jnp.where(mask, gathered, fill)
+
+    # -- host-side views ---------------------------------------------------
+    def edges_numpy(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Valid (src, dst) pairs as host numpy arrays, canonical order."""
+        src = np.asarray(self.src)[: self.num_edges]
+        dst = np.asarray(self.dst)[: self.num_edges]
+        return src, dst
+
+    def __repr__(self) -> str:  # keep noise out of jit traces
+        return (
+            f"Graph(num_src={self.num_src_nodes}, num_dst={self.num_dst_nodes}, "
+            f"num_edges={self.num_edges}, padded={self.num_edges_padded})"
+        )
+
+
+def _build_sorted(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_src: int,
+    num_dst: int,
+    e_pad: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort edges by dst (stable), build indptr, pad with sentinels."""
+    num_e = len(src)
+    order = np.argsort(dst, kind="stable").astype(np.int64)
+    s = np.full(e_pad, num_src, dtype=np.int32)
+    d = np.full(e_pad, num_dst, dtype=np.int32)
+    e = np.full(e_pad, num_e, dtype=np.int32)
+    s[:num_e] = src[order]
+    d[:num_e] = dst[order]
+    e[:num_e] = order
+    counts = np.bincount(dst, minlength=num_dst).astype(np.int64)
+    indptr = np.zeros(num_dst + 1, dtype=np.int32)
+    np.cumsum(counts, out=indptr[1:])
+    return s, d, indptr, e
+
+
+def from_edges(
+    src,
+    dst,
+    num_src_nodes: int,
+    num_dst_nodes: Optional[int] = None,
+    *,
+    e_pad: Optional[int] = None,
+    pad_multiple: int = _LANES,
+    build_reverse: bool = True,
+) -> Graph:
+    """Build a :class:`Graph` from COO edge lists (host-side).
+
+    Args:
+      src, dst: 1-D integer arrays of equal length (input edge order).
+      num_src_nodes: source node count; also dst count if ``num_dst_nodes``
+        is None (homogeneous graph).
+      e_pad: explicit padded edge length (use to bucket minibatches into a
+        few compiled shapes); defaults to ``pad_length(len(src))``.
+      build_reverse: also build the transpose graph (needed for out-degrees,
+        backward scatter and reduce-by-src ops).
+    """
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    if src.ndim != 1 or src.shape != dst.shape:
+        raise ValueError(f"src/dst must be 1-D and equal length, got {src.shape} vs {dst.shape}")
+    if num_dst_nodes is None:
+        num_dst_nodes = num_src_nodes
+    num_e = int(src.shape[0])
+    if num_e and (src.min(initial=0) < 0 or src.max(initial=0) >= num_src_nodes):
+        raise ValueError("src ids out of range")
+    if num_e and (dst.min(initial=0) < 0 or dst.max(initial=0) >= num_dst_nodes):
+        raise ValueError("dst ids out of range")
+    if e_pad is None:
+        e_pad = pad_length(num_e, pad_multiple)
+    if e_pad < num_e:
+        raise ValueError(f"e_pad={e_pad} < num_edges={num_e}")
+
+    s, d, indptr, e = _build_sorted(src, dst, num_src_nodes, num_dst_nodes, e_pad)
+    rev = None
+    if build_reverse:
+        # Build the transpose from the *canonical* arrays so that rev.eid maps
+        # each reverse-canonical slot to the forward-canonical slot of the same
+        # edge — this is what lets backward passes permute edge cotangents into
+        # src-sorted order and use a sorted segment reduction.
+        rs, rd, rindptr, re = _build_sorted(
+            d[:num_e], s[:num_e], num_dst_nodes, num_src_nodes, e_pad
+        )
+        rev = Graph(
+            src=jnp.asarray(rs),
+            dst=jnp.asarray(rd),
+            indptr=jnp.asarray(rindptr),
+            eid=jnp.asarray(re),
+            num_src_nodes=num_dst_nodes,
+            num_dst_nodes=num_src_nodes,
+            num_edges=num_e,
+            reverse=None,
+        )
+    return Graph(
+        src=jnp.asarray(s),
+        dst=jnp.asarray(d),
+        indptr=jnp.asarray(indptr),
+        eid=jnp.asarray(e),
+        num_src_nodes=num_src_nodes,
+        num_dst_nodes=num_dst_nodes,
+        num_edges=num_e,
+        reverse=rev,
+    )
+
+
+def from_scipy_coo(mat, **kwargs) -> Graph:
+    """Build from a ``scipy.sparse`` matrix in (dst, src) = (row, col) sense:
+    ``out[row] += in[col]`` like ``A @ x``."""
+    coo = mat.tocoo()
+    return from_edges(
+        coo.col, coo.row, num_src_nodes=int(coo.shape[1]), num_dst_nodes=int(coo.shape[0]), **kwargs
+    )

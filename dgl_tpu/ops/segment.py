@@ -1,0 +1,66 @@
+"""Segment reductions — the scalar core of message passing on TPU.
+
+Everything in this framework reduces to "gather rows, combine, reduce by
+segment id". These wrappers centralise the conventions:
+
+* ``num_segments`` is always static (XLA requirement),
+* out-of-range indices (our padding sentinel) are *dropped* by the scatter,
+* canonical edge order is dst-sorted so ``indices_are_sorted=True`` is safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_softmax_denom",
+    "segment_count",
+]
+
+
+def segment_sum(data, segment_ids, num_segments: int, *, sorted: bool = False):
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=sorted
+    )
+
+
+def segment_count(segment_ids, num_segments: int, *, sorted: bool = False, dtype=jnp.int32):
+    ones = jnp.ones(segment_ids.shape, dtype=dtype)
+    return segment_sum(ones, segment_ids, num_segments, sorted=sorted)
+
+
+def segment_mean(data, segment_ids, num_segments: int, *, sorted: bool = False):
+    """Mean with empty-segment → 0 (DGL ``fn.mean`` zero-in-degree semantics,
+    see reference ``main_dgl_citation_sage.py:75-77``)."""
+    s = segment_sum(data, segment_ids, num_segments, sorted=sorted)
+    n = segment_count(segment_ids, num_segments, sorted=sorted, dtype=s.dtype)
+    n = jnp.maximum(n, 1)
+    return s / n.reshape(n.shape + (1,) * (s.ndim - n.ndim))
+
+
+def segment_max(data, segment_ids, num_segments: int, *, sorted: bool = False, empty_value=0.0):
+    """Max with empty-segment → ``empty_value`` (DGL semantics: 0)."""
+    m = jax.ops.segment_max(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=sorted
+    )
+    return jnp.where(jnp.isfinite(m), m, jnp.asarray(empty_value, dtype=m.dtype))
+
+
+def segment_min(data, segment_ids, num_segments: int, *, sorted: bool = False, empty_value=0.0):
+    m = jax.ops.segment_min(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=sorted
+    )
+    return jnp.where(jnp.isfinite(m), m, jnp.asarray(empty_value, dtype=m.dtype))
+
+
+def segment_softmax_denom(z, segment_ids, num_segments: int, *, sorted: bool = False):
+    """Sum of exponentials per segment, gathered back to elements."""
+    denom = segment_sum(z, segment_ids, num_segments, sorted=sorted)
+    return jnp.take(denom, jnp.minimum(segment_ids, num_segments - 1), axis=0)

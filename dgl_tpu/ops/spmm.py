@@ -1,0 +1,212 @@
+"""g-SpMM: fused (gather → binary op → segment reduce) message passing.
+
+TPU-native equivalent of the generalized SpMM kernel the reference suite
+benchmarks directly (``kernel/dgl-new.py:20`` — ``dgl.ops.gspmm``) and calls
+from every model (``g.update_all(fn.copy_src, fn.mean)``
+``main_dgl_citation_sage.py:75-77``; ``fn.u_mul_e``
+``main_dgl_proteins_rgcn_for.py:52``).
+
+Semantics: for every destination node ``v``::
+
+    out[v] = reduce_{e=(u,v) in E} op(x[u], w[e])
+
+* ``op``     ∈ {copy_u, copy_e, add, sub, mul, div}
+* ``reduce`` ∈ {sum, mean, max, min}
+* zero in-degree nodes produce 0 (DGL semantics).
+
+Implementation notes (XLA path — the Pallas fused kernel in
+``dgl_tpu.kernels`` overrides this on TPU for the hot shapes):
+
+* Edges are canonically dst-sorted, so the forward reduce is a *sorted*
+  segment reduction.
+* A custom VJP routes the backward scatter through the precomputed reverse
+  graph, so the grad-wrt-x reduction is *also* sorted (this replaces DGL's
+  CSR/CSC dual-format trick). Without it, AD of the gather would emit an
+  unsorted scatter-add — the slowest op on TPU.
+* Edge features must be given in canonical order with padded length E_pad
+  (use ``Graph.permute_edata`` when they come in input order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import Graph
+from .segment import segment_max, segment_mean, segment_min, segment_sum
+
+__all__ = ["gspmm", "copy_u_sum", "copy_u_mean", "u_mul_e_sum"]
+
+_BINARY_WITH_X = ("copy_u", "copy_lhs", "add", "sub", "mul", "div")
+_BINARY_WITH_E = ("copy_e", "copy_rhs", "add", "sub", "mul", "div")
+
+
+def _combine(op: str, xe, w):
+    if op in ("copy_u", "copy_lhs"):
+        return xe
+    if op in ("copy_e", "copy_rhs"):
+        return w
+    if op == "add":
+        return xe + w
+    if op == "sub":
+        return xe - w
+    if op == "mul":
+        return xe * w
+    if op == "div":
+        return xe / w
+    raise ValueError(f"unknown spmm op: {op}")
+
+
+def _gather_src(g: Graph, x):
+    return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
+
+
+def _reduce(g: Graph, msg, reduce: str):
+    n = g.num_dst_nodes
+    if reduce == "sum":
+        return segment_sum(msg, g.dst, n, sorted=True)
+    if reduce == "mean":
+        return segment_mean(msg, g.dst, n, sorted=True)
+    if reduce == "max":
+        return segment_max(msg, g.dst, n, sorted=True)
+    if reduce == "min":
+        return segment_min(msg, g.dst, n, sorted=True)
+    raise ValueError(f"unknown spmm reduce: {reduce}")
+
+
+def _inv_deg(g: Graph, dtype):
+    deg = jnp.maximum(g.in_degrees(), 1).astype(dtype)
+    return 1.0 / deg
+
+
+# -- custom-VJP core for ops that gather x (sum/mean reduce) ---------------
+#
+# fwd:  out = segment_sum_by_dst(op(x[src], e)) [* 1/deg for mean]
+# bwd:  grad_m = g_out[dst] [* 1/deg]          (sorted gather)
+#       (grad_xe, grad_e) = vjp of op at edges
+#       grad_x = segment_sum_by_src(grad_xe)    (sorted via reverse graph)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_xe(op: str, reduce: str, g: Graph, x, e):
+    msg = _combine(op, _gather_src(g, x), e)
+    out = segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
+    if reduce == "mean":
+        inv = _inv_deg(g, out.dtype)
+        out = out * inv.reshape(inv.shape + (1,) * (out.ndim - 1))
+    return out
+
+
+def _spmm_xe_fwd(op, reduce, g, x, e):
+    return _spmm_xe(op, reduce, g, x, e), (g, x, e)
+
+
+def _spmm_xe_bwd(op, reduce, res, g_out):
+    g, x, e = res
+    if reduce == "mean":
+        inv = _inv_deg(g, g_out.dtype)
+        g_out = g_out * inv.reshape(inv.shape + (1,) * (g_out.ndim - 1))
+    # cotangent per message (sorted gather by dst; padded rows garbage but
+    # dropped by the reverse scatter / masked for grad_e below)
+    grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+
+    xe = _gather_src(g, x)
+    _, vjp = jax.vjp(lambda a, b: _combine(op, a, b), xe, e)
+    grad_xe, grad_e = vjp(grad_m)
+
+    rev = g.reverse
+    if rev is not None:
+        perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
+        grad_xe_rev = jnp.take(grad_xe, perm, axis=0)
+        grad_x = segment_sum(grad_xe_rev, rev.dst, rev.num_dst_nodes, sorted=True)
+    else:
+        grad_x = segment_sum(grad_xe, g.src, g.num_src_nodes, sorted=False)
+    grad_x = grad_x.astype(x.dtype)
+
+    if op in ("copy_u", "copy_lhs"):
+        grad_e = jnp.zeros_like(e)
+    else:
+        # zero padded-edge cotangents so garbage never reaches user edata grads
+        mask = g.edge_mask(grad_e.dtype).reshape((-1,) + (1,) * (grad_e.ndim - 1))
+        grad_e = (grad_e * mask).astype(e.dtype)
+
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_x, grad_e
+
+
+_spmm_xe.defvjp(_spmm_xe_fwd, _spmm_xe_bwd)
+
+
+def gspmm(
+    g: Graph,
+    op: str,
+    reduce: str,
+    x: Optional[jnp.ndarray] = None,
+    e: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Generalized SpMM (see module docstring).
+
+    Args:
+      g: graph (edges canonical/dst-sorted).
+      op: message op; ``copy_u``/``copy_lhs`` uses only ``x``,
+        ``copy_e``/``copy_rhs`` only ``e``, the rest combine both with numpy
+        broadcasting (e.g. x (E,H,D) with e (E,H,1) for attention).
+      reduce: ``sum`` | ``mean`` | ``max`` | ``min``.
+      x: (num_src_nodes, ...) source-node features.
+      e: (E_pad, ...) edge features in canonical order.
+    Returns:
+      (num_dst_nodes, ...) aggregated features.
+    """
+    if op not in _BINARY_WITH_X and op not in _BINARY_WITH_E:
+        raise ValueError(f"unknown spmm op: {op!r}")
+    if reduce not in ("sum", "mean", "max", "min"):
+        raise ValueError(f"unknown spmm reduce: {reduce!r}")
+    needs_x = op in _BINARY_WITH_X
+    needs_e = op in _BINARY_WITH_E
+    if needs_x and x is None:
+        raise ValueError(f"spmm op {op!r} requires node features x")
+    if needs_e and e is None:
+        raise ValueError(f"spmm op {op!r} requires edge features e")
+
+    if needs_x and needs_e and reduce in ("sum", "mean"):
+        return _spmm_xe(op, reduce, g, x, e)
+    if needs_x and not needs_e and reduce in ("sum", "mean"):
+        # reuse the custom-VJP path with a scalar dummy edge operand
+        dummy = jnp.zeros((), dtype=x.dtype)
+        return _spmm_xe("copy_u", reduce, g, x, dummy)
+
+    # max/min and copy_e paths: plain ops; AD of these is already efficient
+    # (copy_e backward is a sorted gather; max/min route grads via argmax).
+    if needs_x:
+        xe = _gather_src(g, x)
+        msg = _combine(op, xe, e) if needs_e else xe
+    else:
+        msg = e
+        if reduce in ("max", "min"):
+            # mask padded edges so they never win the extremum
+            fill = -jnp.inf if reduce == "max" else jnp.inf
+            m = g.edge_mask(jnp.bool_).reshape((-1,) + (1,) * (msg.ndim - 1))
+            msg = jnp.where(m, msg, fill)
+    return _reduce(g, msg, reduce)
+
+
+# -- convenience aliases (the hot paths) -----------------------------------
+
+
+def copy_u_sum(g: Graph, x):
+    return gspmm(g, "copy_u", "sum", x=x)
+
+
+def copy_u_mean(g: Graph, x):
+    return gspmm(g, "copy_u", "mean", x=x)
+
+
+def u_mul_e_sum(g: Graph, x, e):
+    return gspmm(g, "mul", "sum", x=x, e=e)

@@ -1,0 +1,195 @@
+"""Unit tests: SpMM / SDDMM / edge-softmax vs dense NumPy oracles.
+
+Covers the kernel surface of SURVEY §2.3 rows 1–3 on tiny random graphs,
+including bipartite shapes, zero-in-degree nodes, padding invariance and
+gradients (finite-difference-free: compared against oracle-built closed
+forms via jax.grad on the dense formulation).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgl_tpu import from_edges
+from dgl_tpu.ops import gspmm, gsddmm, edge_softmax
+
+from utils import dense_spmm, dense_sddmm, dense_edge_softmax
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _mk(rng, n_src=13, n_dst=11, n_e=40, e_pad=None):
+    src = rng.integers(0, n_src, size=n_e).astype(np.int64)
+    dst = rng.integers(0, n_dst, size=n_e).astype(np.int64)
+    g = from_edges(src, dst, n_src, n_dst, e_pad=e_pad)
+    return g, src, dst
+
+
+@pytest.mark.parametrize("op", ["copy_u", "add", "sub", "mul", "div", "copy_e"])
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min"])
+def test_spmm_matches_dense(rng, op, reduce):
+    n_src, n_dst, n_e, d = 13, 11, 40, 5
+    g, src, dst = _mk(rng, n_src, n_dst, n_e)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    e_in = rng.standard_normal((n_e, d)).astype(np.float32) + 2.0  # avoid /0
+
+    # edge data must be permuted into canonical order
+    e_canon = g.permute_edata(jnp.asarray(e_in))
+    out = gspmm(
+        g,
+        op,
+        reduce,
+        x=None if op == "copy_e" else jnp.asarray(x),
+        e=None if op == "copy_u" else e_canon,
+    )
+    ref = dense_spmm(
+        src,
+        dst,
+        n_src,
+        n_dst,
+        None if op == "copy_e" else x,
+        None if op == "copy_u" else e_in,
+        op,
+        reduce,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_zero_in_degree_is_zero(rng):
+    # node 5 has no in-edges; mean/sum/max must produce 0 (DGL semantics)
+    src = np.array([0, 1, 2])
+    dst = np.array([0, 0, 1])
+    g = from_edges(src, dst, 6, 6)
+    x = rng.standard_normal((6, 3)).astype(np.float32)
+    for reduce in ["sum", "mean", "max", "min"]:
+        out = np.asarray(gspmm(g, "copy_u", reduce, x=jnp.asarray(x)))
+        np.testing.assert_allclose(out[2:], 0.0)
+
+
+def test_spmm_padding_invariance(rng):
+    """Same graph, different padded lengths → identical results."""
+    n_src, n_dst, n_e, d = 9, 9, 23, 4
+    src = rng.integers(0, n_src, size=n_e)
+    dst = rng.integers(0, n_dst, size=n_e)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    outs = []
+    for e_pad in [128, 256, 384]:
+        g = from_edges(src, dst, n_src, n_dst, e_pad=e_pad)
+        outs.append(np.asarray(gspmm(g, "copy_u", "mean", x=jnp.asarray(x))))
+    np.testing.assert_allclose(outs[0], outs[1])
+    np.testing.assert_allclose(outs[0], outs[2])
+
+
+@pytest.mark.parametrize("op,reduce", [("copy_u", "sum"), ("copy_u", "mean"), ("mul", "sum"), ("add", "mean")])
+def test_spmm_grads(rng, op, reduce):
+    """Custom VJP vs jax.grad of an explicit dense formulation."""
+    n, n_e, d = 8, 20, 3
+    src = rng.integers(0, n, size=n_e)
+    dst = rng.integers(0, n, size=n_e)
+    g = from_edges(src, dst, n, n)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    e_in = jnp.asarray(rng.standard_normal((n_e, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))  # loss weights
+
+    A = np.zeros((n, n), dtype=np.float32)  # A[v,u] = multiplicity
+    for u, v in zip(src, dst):
+        A[v, u] += 1.0
+
+    e_canon = g.permute_edata(e_in)
+
+    def loss_ours(x, e):
+        ec = g.permute_edata(e)
+        out = gspmm(g, op, reduce, x=x, e=None if op == "copy_u" else ec)
+        return jnp.sum(out * w)
+
+    def loss_dense(x, e):
+        # dense scatter formulation (autodiffed by JAX as the oracle)
+        msgs = x[jnp.asarray(src)] if op != "copy_e" else None
+        if op == "mul":
+            msgs = msgs * e
+        elif op == "add":
+            msgs = msgs + e
+        out = jax.ops.segment_sum(msgs, jnp.asarray(dst), num_segments=n)
+        if reduce == "mean":
+            deg = jnp.maximum(A.sum(axis=1), 1.0)
+            out = out / deg[:, None]
+        return jnp.sum(out * w)
+
+    gx, ge = jax.grad(loss_ours, argnums=(0, 1))(x, e_in)
+    gx_ref, ge_ref = jax.grad(loss_dense, argnums=(0, 1))(x, e_in)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+    if op != "copy_u":
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "dot", "copy_u", "copy_v"])
+def test_sddmm_matches_dense(rng, op):
+    n_src, n_dst, n_e, d = 7, 9, 30, 4
+    g, src, dst = _mk(rng, n_src, n_dst, n_e)
+    u = rng.standard_normal((n_src, d)).astype(np.float32)
+    v = rng.standard_normal((n_dst, d)).astype(np.float32)
+    out = np.asarray(gsddmm(g, op, jnp.asarray(u), jnp.asarray(v)))
+    ref = dense_sddmm(src, dst, u, v, op)
+    # our output is in canonical order: map via eid
+    eid = np.asarray(g.eid)[: g.num_edges]
+    np.testing.assert_allclose(out[: g.num_edges], ref[eid], rtol=1e-5, atol=1e-5)
+    # padding rows are zeroed
+    np.testing.assert_allclose(out[g.num_edges :], 0.0)
+
+
+def test_edge_softmax_matches_dense(rng):
+    n, n_e, h = 10, 35, 4
+    src = rng.integers(0, n, size=n_e)
+    dst = rng.integers(0, n, size=n_e)
+    g = from_edges(src, dst, n, n)
+    logits = rng.standard_normal((n_e, h)).astype(np.float32) * 5
+    lc = g.permute_edata(jnp.asarray(logits))
+    alpha = np.asarray(edge_softmax(g, lc))
+    ref = dense_edge_softmax(src, dst, n, logits)
+    eid = np.asarray(g.eid)[: g.num_edges]
+    np.testing.assert_allclose(alpha[: g.num_edges], ref[eid], rtol=1e-5, atol=1e-6)
+    # alpha sums to 1 per destination with in-edges
+    sums = np.zeros((n, h))
+    d_canon = np.asarray(g.dst)[: g.num_edges]
+    for i, v in enumerate(d_canon):
+        sums[v] += alpha[i]
+    has_edge = np.unique(d_canon)
+    np.testing.assert_allclose(sums[has_edge], 1.0, rtol=1e-5)
+    # padded entries contribute exactly zero
+    np.testing.assert_allclose(alpha[g.num_edges :], 0.0)
+
+
+def test_edge_softmax_grad_finite(rng):
+    n, n_e = 6, 15
+    src = rng.integers(0, n, size=n_e)
+    dst = rng.integers(0, n, size=n_e)
+    g = from_edges(src, dst, n, n)
+    logits = jnp.asarray(rng.standard_normal((n_e, 2)).astype(np.float32))
+
+    def f(l):
+        return jnp.sum(edge_softmax(g, g.permute_edata(l)) ** 2)
+
+    grad = jax.grad(f)(logits)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_degrees(rng):
+    n_src, n_dst, n_e = 12, 10, 50
+    g, src, dst = _mk(rng, n_src, n_dst, n_e)
+    np.testing.assert_array_equal(
+        np.asarray(g.in_degrees()), np.bincount(dst, minlength=n_dst)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g.out_degrees()), np.bincount(src, minlength=n_src)
+    )
+
+
+def test_spmm_jit_and_vmap_compatible(rng):
+    g, src, dst = _mk(rng, 8, 8, 20)
+    x = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    f = jax.jit(lambda g, x: gspmm(g, "copy_u", "mean", x=x))
+    out1 = f(g, x)
+    out2 = gspmm(g, "copy_u", "mean", x=x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
