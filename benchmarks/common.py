@@ -1,0 +1,118 @@
+"""Shared driver plumbing for the benchmark workloads.
+
+Keeps the reference's CLI + stdout conventions (SURVEY §5 config): per-driver
+argparse with benchmark defaults, ``--eval`` gating accuracy computation,
+``--runs N`` re-inits, ``Training time/epoch`` line printed from the epoch
+loop, Logger statistics at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+REPO_ROOT = __file__.rsplit("/benchmarks/", 1)[0]
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The axon sitecustomize pins jax to the TPU tunnel regardless of
+# JAX_PLATFORMS in the process env; DGL_TPU_PLATFORM=cpu forces CPU via
+# jax.config (works because no backend is initialized yet at import time).
+if os.environ.get("DGL_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DGL_TPU_PLATFORM"])
+
+from dgl_tpu.data import load_node_dataset  # noqa: E402
+from dgl_tpu.train import Logger  # noqa: E402
+
+
+def softmax_ce_int(logits, labels):
+    """CE with integer labels (optax's version trips a chex/jax-version
+    incompatibility in this environment, so compute it directly)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+
+def masked_softmax_ce(logits, labels, mask):
+    """Cross-entropy over masked rows (static-shape equivalent of
+    ``loss_fcn(logits[train_mask], labels[train_mask])``)."""
+    ce = softmax_ce_int(logits, labels)
+    m = mask.astype(ce.dtype)
+    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def masked_bce(logits, labels, mask):
+    """Multilabel BCE-with-logits over masked rows (proteins, N8)."""
+    ls = jax.nn.log_sigmoid
+    per = -(labels * ls(logits) + (1.0 - labels) * ls(-logits))
+    per = per.mean(axis=-1)
+    m = mask.astype(per.dtype)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def masked_accuracy(logits, labels, mask):
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == labels).astype(jnp.float32) * mask.astype(jnp.float32)
+    return jnp.sum(hit) / jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+
+def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: L2 term added to the gradient *before*
+    the adam moments (not decoupled AdamW)."""
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr))
+    return optax.adam(lr)
+
+
+def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Binary ROC-AUC via rank statistic (no sklearn dependency)."""
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    labels = np.asarray(labels).ravel()
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
+    ranks = np.empty(len(order), dtype=np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    # average ties
+    allv = np.concatenate([pos, neg])
+    sorted_v = allv[order]
+    uniq, inv, counts = np.unique(sorted_v, return_inverse=True, return_counts=True)
+    cum = np.cumsum(counts)
+    avg_rank = (cum - (counts - 1) / 2.0).astype(np.float64)
+    ranks_tied = avg_rank[np.searchsorted(uniq, allv)]
+    r_pos = ranks_tied[: len(pos)].sum()
+    auc = (r_pos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    return float(auc)
+
+
+def mean_multilabel_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Mean per-task ROC-AUC (OGB proteins evaluator semantics)."""
+    aucs = []
+    for t in range(labels.shape[1]):
+        a = roc_auc(scores[:, t], labels[:, t])
+        if not np.isnan(a):
+            aucs.append(a)
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
+def print_data_stats(data):
+    print(
+        "----Data statistics------'\n"
+        f"  #Edges {len(data.src)}\n"
+        f"  #Classes {data.num_classes}\n"
+        f"  #Train samples {int(data.train_mask.sum())}\n"
+        f"  #Val samples {int(data.val_mask.sum())}\n"
+        f"  #Test samples {int(data.test_mask.sum())}"
+    )
+    if data.synthetic:
+        print("  (synthetic fallback data — structural stats matched to the real dataset)")

@@ -1,0 +1,187 @@
+"""Graph classification: ENZYMES GCN (reference G1,
+``main_dgl_enzymes_gcn.py``) and OGB mol datasets (G2/G3,
+``main_dgl_molhiv_gcn.py`` / ``main_dgl_ppa_gcn.py``) in one driver.
+
+Reference conventions preserved: 80/10/10 split with numpy seed 42
+(``main_dgl_enzymes_gcn.py:155-163``), batch-size axis {64,128,256}
+(README.md:51-67), nll loss on log_softmax (ENZYMES), BCE (molhiv ROC-AUC) /
+CE (ppa), ``Training time/epoch`` from epoch 3.
+
+TPU-native batching: every batch is padded to one global bucket shape so a
+single compiled step serves the epoch; collation runs on host threads
+(``dgl_tpu.sampling.GraphBatchLoader``).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import (  # noqa: E402
+    masked_softmax_ce,
+    softmax_ce_int,
+    roc_auc,
+    print_data_stats,
+    Logger,
+)
+
+from dgl_tpu.data import synthetic_graph_classification  # noqa: E402
+from dgl_tpu.models import GCNGraphClassifier, GCNMolClassifier  # noqa: E402
+from dgl_tpu.sampling.dataloader import GraphBatchLoader  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Graph classification GCN (dgl_tpu)")
+    parser.add_argument("--dataset", type=str, default="ENZYMES",
+                        choices=["ENZYMES", "ogbg-molhiv", "ogbg-ppa"])
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--log_steps", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_layers", type=int, default=None)
+    parser.add_argument("--hidden_size", type=int, default=None)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--eval", action="store_true",
+                        help="If not set, we will only do the training part.")
+    parser.add_argument("--eval_batch_size", type=int, default=2048)
+    parser.add_argument("--num-graphs", type=int, default=None,
+                        help="subsample the dataset (synthetic scale knob)")
+    args = parser.parse_args()
+    is_mol = args.dataset != "ENZYMES"
+    if args.num_layers is None:
+        args.num_layers = 5 if is_mol else 4
+    if args.hidden_size is None:
+        args.hidden_size = 256 if is_mol else 128
+    print(args)
+
+    data = synthetic_graph_classification(args.dataset, num_graphs=args.num_graphs)
+    n = len(data.graphs)
+    indices = np.arange(n)
+    np.random.seed(42)
+    np.random.shuffle(indices)
+    tr, va = indices[: int(n * 0.8)], indices[int(n * 0.8): int(n * 0.9)]
+    te = indices[int(n * 0.9):]
+
+    def subset(idx):
+        return (
+            [data.graphs[i] for i in idx],
+            [data.node_feats[i] for i in idx],
+            [data.edge_feats[i] for i in idx],
+            data.labels[idx],
+        )
+
+    def loader(idx, bs, shuffle, seed=0):
+        gs, nf, ef, y = subset(idx)
+        return GraphBatchLoader(
+            gs, nf, y, bs, edge_feats=ef if is_mol else None, shuffle=shuffle, seed=seed
+        )
+
+    train_loader = loader(tr, args.batch_size, True)
+    val_loader = loader(va, args.eval_batch_size, False)
+    test_loader = loader(te, args.eval_batch_size, False)
+
+    if is_mol:
+        num_out = 1 if args.dataset == "ogbg-molhiv" else data.num_classes
+        model = GCNMolClassifier(
+            emb_dim=args.hidden_size, num_classes=num_out,
+            num_layers=args.num_layers, dropout=args.dropout,
+            node_encoder="atom" if args.dataset == "ogbg-molhiv" else "embed",
+            edge_encoder="bond" if args.dataset == "ogbg-molhiv" else 7,
+        )
+    else:
+        model = GCNGraphClassifier(
+            hidden_feats=args.hidden_size, num_classes=data.num_classes,
+            num_layers=args.num_layers, dropout=args.dropout,
+        )
+    tx = optax.adam(args.lr)
+
+    def apply_model(variables, batch, nf, ef, *, train, key=None):
+        kwargs = dict(deterministic=not train)
+        if train:
+            kwargs["rngs"] = {"dropout": key}
+            kwargs["mutable"] = ["batch_stats"]
+        a = (batch, nf, ef) if is_mol else (batch, nf)
+        return model.apply(variables, *a, **kwargs)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch, nf, ef, y, key):
+        gmask = batch.graph_mask()
+
+        def loss_fn(p):
+            out, new_state = apply_model(
+                {"params": p, "batch_stats": batch_stats}, batch, nf, ef,
+                train=True, key=key,
+            )
+            if args.dataset == "ogbg-molhiv":
+                ls = jax.nn.log_sigmoid
+                per = -(y * ls(out[:, 0]) + (1.0 - y) * ls(-out[:, 0]))
+            else:
+                per = softmax_ce_int(out, y)
+            loss = jnp.sum(per * gmask) / jnp.maximum(gmask.sum(), 1.0)
+            return loss, new_state
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state["batch_stats"], opt_state, loss
+
+    @jax.jit
+    def predict(params, batch_stats, batch, nf, ef):
+        return apply_model({"params": params, "batch_stats": batch_stats}, batch, nf, ef, train=False)
+
+    def evaluate(params, batch_stats, ldr):
+        ys, ps = [], []
+        for batch, nf, ef, y in ldr:
+            out = np.asarray(predict(params, batch_stats, batch, nf, ef))
+            m = np.asarray(batch.graph_mask()) > 0
+            ys.append(np.asarray(y)[m])
+            ps.append(out[m])
+        y = np.concatenate(ys)
+        p = np.concatenate(ps)
+        if args.dataset == "ogbg-molhiv":
+            return roc_auc(p[:, 0], y)
+        return float((p.argmax(axis=1) == y).mean())
+
+    logger = Logger(args.runs, scale=100.0 if not args.dataset.startswith("ogbg") else 1.0)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(run)
+        b0, nf0, ef0, _ = train_loader.first()
+        a0 = (b0, nf0, ef0) if is_mol else (b0, nf0)
+        variables = model.init(key, *a0)
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        for epoch in range(1, args.epochs + 1):
+            t0 = time.time()
+            for batch, nf, ef, y in train_loader:
+                key, sub = jax.random.split(key)
+                yv = y.astype(jnp.float32) if args.dataset == "ogbg-molhiv" else y
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, batch, nf, ef, yv, sub
+                )
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if not args.eval:
+                continue
+            val_acc = evaluate(params, batch_stats, val_loader)
+            test_acc = evaluate(params, batch_stats, test_loader)
+            logger.add_result(run, (0.0, val_acc, test_acc))
+            if epoch % args.log_steps == 0:
+                print(f"Run: {run + 1:02d}, Epoch: {epoch:02d}, Loss: {loss:.4f}, "
+                      f"Valid: {val_acc * 100:.4f}% Test: {test_acc * 100:.4f}%")
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Full-graph GAT node classification (all datasets).
+
+Covers reference N5–N7 (``main_dgl_{citation,reddit,arxiv}_gat.py``).
+Per-dataset defaults from the reference argparse blocks: citation — heads
+[8,8,1], hidden 8, lr 5e-3, wd 5e-4, dropout 0.6, 200 epochs, self-loops
+(``main_dgl_citation_gat.py:85-146``); reddit — heads [1,1,1], hidden 16,
+tuned lr/wd/dropout, 500 epochs (``main_dgl_reddit_gat.py:85-145``);
+arxiv — heads [4,4,4], bidirected + self-loops, tuned hyperparams
+(``main_dgl_arxiv_gat.py:100-139``).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import (  # noqa: E402
+    adam_l2,
+    load_node_dataset,
+    masked_accuracy,
+    masked_softmax_ce,
+    print_data_stats,
+    Logger,
+)
+
+import dgl_tpu  # noqa: E402
+from dgl_tpu.graph import transforms  # noqa: E402
+from dgl_tpu.models import GAT  # noqa: E402
+
+_TUNED = dict(lr=0.0029739421726400865, wd=2.4222556964495987e-05, dropout=0.18074706609292976)
+
+DATASET_CFG = {
+    "cora": dict(heads=(8, 8, 1), hidden=8, lr=5e-3, wd=5e-4, dropout=0.6, epochs=200, bidirect=False),
+    "pubmed": dict(heads=(8, 8, 1), hidden=8, lr=5e-3, wd=5e-4, dropout=0.6, epochs=200, bidirect=False),
+    "reddit": dict(heads=(1, 1, 1), hidden=16, epochs=500, bidirect=False, **_TUNED),
+    "ogbn-arxiv": dict(heads=(4, 4, 4), hidden=16, epochs=500, bidirect=True, **_TUNED),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="GAT (dgl_tpu)")
+    parser.add_argument("--dataset", type=str, default="cora", choices=sorted(DATASET_CFG))
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--num-layers", type=int, default=3)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--weight-decay", type=float, default=None)
+    parser.add_argument("--num-hidden", type=int, default=None)
+    parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--eval", action="store_true",
+                        help="If not set, we will only do the training part.")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="shrink factor for synthetic fallback data (smoke tests)")
+    args = parser.parse_args()
+    cfg = DATASET_CFG[args.dataset]
+    for flag, key in [("lr", "lr"), ("weight_decay", "wd"), ("num_hidden", "hidden"),
+                      ("dropout", "dropout"), ("epochs", "epochs")]:
+        v = getattr(args, flag)
+        if v is not None:
+            cfg[key] = v
+    heads = tuple(cfg["heads"][: args.num_layers])
+    print(args)
+
+    data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
+    print_data_stats(data)
+
+    src, dst = data.src, data.dst
+    if cfg["bidirect"]:
+        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
+    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    x = jnp.asarray(data.features)
+    y = jnp.asarray(data.labels)
+    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+
+    model = GAT(
+        hidden_feats=cfg["hidden"],
+        out_feats=data.num_classes,
+        heads=heads,
+        feat_drop=cfg["dropout"],
+        attn_drop=cfg["dropout"],
+    )
+    tx = adam_l2(cfg["lr"], cfg["wd"])
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, g, x, deterministic=False, rngs={"dropout": key}
+            )
+            return masked_softmax_ce(logits, y, masks["train"])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params):
+        logits = model.apply({"params": params}, g, x, deterministic=True)
+        return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
+
+    logger = Logger(args.runs)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        params = model.init(key, g, x)["params"]
+        opt_state = tx.init(params)
+        for epoch in range(cfg["epochs"]):
+            key, sub = jax.random.split(key)
+            if epoch >= 3:
+                t0 = time.time()
+            params, opt_state, loss = train_step(params, opt_state, sub)
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if not args.eval:
+                continue
+            accs = tuple(map(float, eval_step(params)))
+            logger.add_result(run, accs)
+            print(
+                "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                    run, epoch, loss, *accs
+                )
+            )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Full-graph RGCN on ogbn-proteins (reference N8,
+``main_dgl_proteins_rgcn_for.py``).
+
+Semantics preserved: node features = ones((N,1)) (``:155``), edge weights =
+the 8 columns of the edge feature matrix (``:159-161``), multilabel
+BCE-with-logits on train nodes (``:101``), mean per-task ROC-AUC eval every
+``--eval_steps`` (``:112-130``), plain Adam lr 0.01, 3 layers hidden 32.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import (  # noqa: E402
+    load_node_dataset,
+    masked_bce,
+    mean_multilabel_auc,
+    print_data_stats,
+    Logger,
+)
+
+import dgl_tpu  # noqa: E402
+from dgl_tpu.models import RGCN  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(description="RGCN ogbn-proteins (dgl_tpu)")
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--log_steps", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--num-layers", type=int, default=3)
+    parser.add_argument("--hidden-feats", type=int, default=32)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--eval_steps", type=int, default=5)
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--eval", action="store_true",
+                        help="If not set, we will only do the training part.")
+    parser.add_argument("--fuse-relations", action="store_true",
+                        help="batch relations into one fused SpMM (more memory)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="shrink factor for synthetic fallback data (smoke tests)")
+    args = parser.parse_args()
+    print(args)
+
+    data = load_node_dataset("ogbn-proteins", seed=args.seed, scale=args.scale)
+    print_data_stats(data)
+
+    g = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    node_feats = jnp.ones((data.num_nodes, 1), dtype=jnp.float32)
+    edge_weights = g.permute_edata(jnp.asarray(data.edge_feat))  # (E_pad, 8)
+    y = jnp.asarray(data.labels, dtype=jnp.float32)  # (N, 112) multilabel
+    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+
+    model = RGCN(
+        hidden_feats=args.hidden_feats,
+        out_feats=y.shape[-1],
+        num_relations=edge_weights.shape[-1],
+        num_layers=args.num_layers,
+        dropout=args.dropout,
+        fuse_relations=args.fuse_relations,
+    )
+    tx = optax.adam(args.lr)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, g, node_feats, edge_weights,
+                deterministic=False, rngs={"dropout": key},
+            )
+            return masked_bce(out, y, masks["train"])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def forward(params):
+        return model.apply({"params": params}, g, node_feats, edge_weights)
+
+    logger = Logger(args.runs, scale=100.0)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        params = model.init(key, g, node_feats, edge_weights)["params"]
+        opt_state = tx.init(params)
+        for epoch in range(args.epochs):
+            key, sub = jax.random.split(key)
+            if epoch >= 3:
+                t0 = time.time()
+            params, opt_state, loss = train_step(params, opt_state, sub)
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if args.eval and (epoch + 1) % args.eval_steps == 0:
+                scores = np.asarray(forward(params))
+                labels_np = np.asarray(y)
+                aucs = tuple(
+                    mean_multilabel_auc(
+                        scores[np.asarray(getattr(data, f"{k}_mask"))],
+                        labels_np[np.asarray(getattr(data, f"{k}_mask"))],
+                    )
+                    for k in ("train", "val", "test")
+                )
+                logger.add_result(run, aucs)
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss, *aucs
+                    )
+                )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

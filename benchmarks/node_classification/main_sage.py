@@ -1,0 +1,147 @@
+"""Full-graph GraphSAGE node classification (all datasets).
+
+TPU-native driver covering the reference's N1–N4 + N9 workloads in one CLI
+(``main_dgl_{citation,reddit,arxiv,product}_sage.py``): per-dataset defaults
+match the reference argparse blocks (citation: 2-layer hidden 16 / lr 1e-2 /
+wd 5e-4 / 200 epochs — ``main_dgl_citation_sage.py:130-148``; arxiv:
+3-layer hidden 256 + BatchNorm / 500 epochs — ``main_dgl_arxiv_sage.py:
+141-149``; products: 3-layer hidden 64 / 300 epochs, bidirected graph).
+Stdout format (``Training time/epoch``, Logger stats) is harness-parsed.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import (  # noqa: E402
+    adam_l2,
+    load_node_dataset,
+    masked_accuracy,
+    masked_softmax_ce,
+    print_data_stats,
+    Logger,
+)
+
+import dgl_tpu  # noqa: E402
+from dgl_tpu.graph import transforms  # noqa: E402
+from dgl_tpu.models import GraphSAGE  # noqa: E402
+
+DATASET_CFG = {
+    "cora": dict(layers=2, hidden=16, lr=1e-2, wd=5e-4, dropout=0.5, epochs=200, bn=False, bidirect=False),
+    "pubmed": dict(layers=2, hidden=16, lr=1e-2, wd=5e-4, dropout=0.5, epochs=200, bn=False, bidirect=False),
+    "reddit": dict(layers=2, hidden=16, lr=1e-2, wd=5e-4, dropout=0.5, epochs=200, bn=False, bidirect=False),
+    "ogbn-arxiv": dict(layers=3, hidden=256, lr=1e-2, wd=0.0, dropout=0.5, epochs=500, bn=True, bidirect=True),
+    "ogbn-products": dict(layers=3, hidden=64, lr=1e-2, wd=0.0, dropout=0.5, epochs=300, bn=False, bidirect=True),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="GraphSAGE (dgl_tpu)")
+    parser.add_argument("--dataset", type=str, default="cora", choices=sorted(DATASET_CFG))
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--n-hidden", type=int, default=None)
+    parser.add_argument("--num-layers", type=int, default=None)
+    parser.add_argument("--aggr", type=str, choices=["sum", "mean"], default="mean")
+    parser.add_argument("--weight-decay", type=float, default=None)
+    parser.add_argument("--eval", action="store_true",
+                        help="If not set, we will only do the training part.")
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="shrink factor for synthetic fallback data (smoke tests)")
+    args = parser.parse_args()
+    cfg = DATASET_CFG[args.dataset]
+    for flag, key in [("dropout", "dropout"), ("lr", "lr"), ("epochs", "epochs"),
+                      ("n_hidden", "hidden"), ("num_layers", "layers"),
+                      ("weight_decay", "wd")]:
+        v = getattr(args, flag)
+        if v is not None:
+            cfg[key] = v
+    print(args)
+
+    data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
+    print_data_stats(data)
+
+    src, dst = data.src, data.dst
+    if cfg["bidirect"]:
+        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    x = jnp.asarray(data.features)
+    y = jnp.asarray(data.labels)
+    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+
+    model = GraphSAGE(
+        hidden_feats=cfg["hidden"],
+        out_feats=data.num_classes,
+        num_layers=cfg["layers"],
+        aggr=args.aggr,
+        dropout=cfg["dropout"],
+        batch_norm=cfg["bn"],
+    )
+    tx = adam_l2(cfg["lr"], cfg["wd"])
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, key):
+        def loss_fn(p):
+            variables = {"params": p, **({"batch_stats": batch_stats} if batch_stats else {})}
+            out = model.apply(
+                variables, g, x, deterministic=False,
+                rngs={"dropout": key},
+                mutable=["batch_stats"] if batch_stats else False,
+            )
+            logits, new_state = out if batch_stats else (out, {})
+            return masked_softmax_ce(logits, y, masks["train"]), new_state
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, new_state.get("batch_stats", batch_stats), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch_stats):
+        variables = {"params": params, **({"batch_stats": batch_stats} if batch_stats else {})}
+        logits = model.apply(variables, g, x, deterministic=True)
+        return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
+
+    logger = Logger(args.runs)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        variables = model.init(key, g, x)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        for epoch in range(cfg["epochs"]):
+            key, sub = jax.random.split(key)
+            if epoch >= 3:
+                t0 = time.time()
+            params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, sub)
+            loss = float(loss)  # sync point (parity with loss.item())
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if not args.eval:
+                continue
+            accs = tuple(map(float, eval_step(params, batch_stats)))
+            logger.add_result(run, accs)
+            print(
+                "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                    run, epoch, loss, *accs
+                )
+            )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Synthetic dataset generators with reference-matched statistics.
+
+The reference suite benchmarks real datasets (cora/pubmed/reddit/OGB/TU/
+MovieLens — stats table at ``README.md:16-32``, mirrored in BASELINE.md).
+This environment has zero network egress, so benchmarking uses synthetic
+graphs generated to match each dataset's *structural* statistics (node
+count, edge count, feature width, class count, power-law degree skew) —
+which is what determines kernel/epoch performance. Learnability is planted
+(homophilous SBM-style edges + class-informative features) so accuracy
+gates are meaningful; exact reference accuracies require the real data and
+are validated by the real-format loaders in ``loaders.py`` when files are
+present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "NodeClassificationData",
+    "GraphClassificationData",
+    "synthetic_node_classification",
+    "synthetic_graph_classification",
+    "NODE_DATASET_STATS",
+    "GRAPH_DATASET_STATS",
+]
+
+# name: (num_nodes, num_edges, feat_dim, num_classes) — README.md:19-32
+NODE_DATASET_STATS: Dict[str, Tuple[int, int, int, int]] = {
+    "cora": (2_708, 10_556, 1_433, 7),  # bidirected 5429*2 - dups
+    "pubmed": (19_717, 88_651, 500, 3),
+    "reddit": (232_965, 11_606_919, 602, 41),
+    "ogbn-arxiv": (169_343, 1_166_243, 128, 40),
+    "ogbn-products": (2_449_029, 61_859_140, 100, 47),
+    # ogbn-proteins: 8 edge-feature relations, 112 binary tasks
+    "ogbn-proteins": (132_534, 39_561_252, 8, 112),
+}
+
+# name: (num_graphs, avg_nodes, avg_edges, feat_desc, num_classes)
+GRAPH_DATASET_STATS = {
+    "ENZYMES": (600, 33, 62, 18, 6),
+    "ogbg-molhiv": (41_127, 26, 28, "mol", 2),
+    "ogbg-ppa": (158_100, 244, 2266, "ppa", 37),
+}
+
+
+@dataclasses.dataclass
+class NodeClassificationData:
+    name: str
+    src: np.ndarray
+    dst: np.ndarray
+    num_nodes: int
+    features: np.ndarray  # (N, D) float32 (or int ids)
+    labels: np.ndarray  # (N,) int64 or (N, T) float32 multilabel
+    train_mask: np.ndarray
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    num_classes: int
+    edge_feat: Optional[np.ndarray] = None  # (E, R) e.g. proteins relations
+    synthetic: bool = True
+
+
+@dataclasses.dataclass
+class GraphClassificationData:
+    name: str
+    graphs: List[Tuple[np.ndarray, np.ndarray, int]]  # (src, dst, num_nodes)
+    node_feats: List[np.ndarray]
+    edge_feats: List[Optional[np.ndarray]]
+    labels: np.ndarray
+    num_classes: int
+    synthetic: bool = True
+
+
+def _powerlaw_targets(rng, n: int, e: int, alpha: float = 0.8) -> np.ndarray:
+    """Sample e endpoints with zipf-ish popularity (matches social-graph skew)."""
+    # p(i) ∝ (i+1)^-alpha over a random permutation of nodes
+    ranks = np.arange(1, n + 1, dtype=np.float64) ** (-alpha)
+    p = ranks / ranks.sum()
+    perm = rng.permutation(n)
+    return perm[rng.choice(n, size=e, p=p)]
+
+
+def _homophilous_edges(
+    rng, labels: np.ndarray, e: int, homophily: float, alpha: float = 0.8
+):
+    """Edges where a `homophily` fraction connect same-class nodes."""
+    n = len(labels)
+    order = np.argsort(labels, kind="stable")
+    counts = np.bincount(labels)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    src = _powerlaw_targets(rng, n, e, alpha)
+    same = rng.random(e) < homophily
+    # homophilous endpoints: random node of the same class
+    cls = labels[src[same]]
+    r = rng.random(same.sum())
+    idx = (offsets[cls] + (r * counts[cls]).astype(np.int64)).clip(0, n - 1)
+    dst = np.empty(e, dtype=np.int64)
+    dst[same] = order[idx]
+    dst[~same] = rng.integers(0, n, size=(~same).sum())
+    return src.astype(np.int64), dst
+
+
+def synthetic_node_classification(
+    name: str,
+    seed: int = 0,
+    homophily: float = 0.7,
+    noise: float = 1.0,
+    cache_dir: Optional[str] = None,
+    scale: float = 1.0,
+) -> NodeClassificationData:
+    """``scale`` < 1 shrinks node/edge counts proportionally (smoke tests)."""
+    if name not in NODE_DATASET_STATS:
+        raise ValueError(f"unknown dataset {name!r}; known: {sorted(NODE_DATASET_STATS)}")
+    n, e, d, c = NODE_DATASET_STATS[name]
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    if scale != 1.0:
+        n = max(c * 4, int(n * scale))
+        e = max(n, int(e * scale))
+
+    if cache_dir:
+        key = hashlib.md5(
+            f"{name}-{seed}-{homophily}-{noise}-{scale}-v1".encode()
+        ).hexdigest()[:12]
+        path = os.path.join(cache_dir, f"syn_{name}_{key}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return NodeClassificationData(
+                name, z["src"], z["dst"], n, z["x"], z["y"],
+                z["train"], z["val"], z["test"], c,
+                z["ef"] if "ef" in z.files else None,
+            )
+
+    rng = np.random.default_rng(seed)
+    if name == "ogbn-proteins":
+        # multilabel tasks; node feats are all-ones in the reference driver
+        labels = (rng.random((n, c)) < 0.1).astype(np.float32)
+        src = _powerlaw_targets(rng, n, e)
+        dst = rng.integers(0, n, size=e)
+        x = np.ones((n, d), dtype=np.float32)
+        edge_feat = rng.random((e, 8)).astype(np.float32)
+        y_for_masks = None
+    else:
+        labels = rng.integers(0, c, size=n).astype(np.int64)
+        src, dst = _homophilous_edges(rng, labels, e, homophily)
+        means = rng.standard_normal((c, d)).astype(np.float32)
+        x = means[labels] + noise * rng.standard_normal((n, d)).astype(np.float32)
+        edge_feat = None
+        y_for_masks = labels
+
+    # split fractions follow the reference datasets' regimes:
+    # citation = tiny train set; reddit/ogb = majority train
+    if name in ("cora", "pubmed"):
+        tr, va = 140 / n, 500 / n
+    else:
+        tr, va = 0.66, 0.10
+    u = rng.random(n)
+    train_mask = u < tr
+    val_mask = (u >= tr) & (u < tr + va)
+    test_mask = u >= tr + va
+
+    data = NodeClassificationData(
+        name, src, dst, n, x,
+        labels if name != "ogbn-proteins" else labels,
+        train_mask, val_mask, test_mask, c, edge_feat,
+    )
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        save = dict(
+            src=src, dst=dst, x=x, y=data.labels,
+            train=train_mask, val=val_mask, test=test_mask,
+        )
+        if edge_feat is not None:
+            save["ef"] = edge_feat
+        np.savez(path, **save)
+    return data
+
+
+def synthetic_graph_classification(
+    name: str, seed: int = 0, num_graphs: Optional[int] = None
+) -> GraphClassificationData:
+    if name not in GRAPH_DATASET_STATS:
+        raise ValueError(f"unknown dataset {name!r}; known: {sorted(GRAPH_DATASET_STATS)}")
+    total, avg_n, avg_e, feat, c = GRAPH_DATASET_STATS[name]
+    if num_graphs is None:
+        num_graphs = total
+    rng = np.random.default_rng(seed)
+    graphs, node_feats, edge_feats, labels = [], [], [], []
+    ys = rng.integers(0, c, size=num_graphs)
+    for i in range(num_graphs):
+        y = ys[i]
+        n = max(3, int(rng.poisson(avg_n)))
+        e = max(2, int(rng.poisson(avg_e)))
+        # class-dependent topology: ring + class-biased chords
+        base = np.arange(n)
+        src = np.concatenate([base, rng.integers(0, n, size=e)])
+        dst = np.concatenate([(base + 1) % n, rng.integers(0, max(1, n // (1 + y % 4)), size=e)])
+        graphs.append((src.astype(np.int64), dst.astype(np.int64), n))
+        if feat == "mol":
+            nf = np.stack(
+                [rng.integers(0, hi, size=len(src) * 0 + n) for hi in (40, 4, 8, 8, 6, 4, 4, 2, 2)],
+                axis=1,
+            ).astype(np.int32)
+            # class-informative first column
+            nf[:, 0] = (nf[:, 0] + y) % 40
+            ef = np.stack([rng.integers(0, hi, size=len(src)) for hi in (5, 6, 2)], axis=1).astype(np.int32)
+        elif feat == "ppa":
+            nf = np.zeros((n, 1), dtype=np.int32)
+            ef = rng.random((len(src), 7)).astype(np.float32)
+        else:
+            means = np.linspace(-1, 1, c)[y]
+            nf = (means + 0.7 * rng.standard_normal((n, feat))).astype(np.float32)
+            ef = None
+        node_feats.append(nf)
+        edge_feats.append(ef)
+        labels.append(y)
+    return GraphClassificationData(
+        name, graphs, node_feats, edge_feats, np.asarray(labels, dtype=np.int64), c
+    )
