@@ -91,7 +91,7 @@ def main():
     tx = adam_l2(cfg["lr"], cfg["wd"])
 
     @jax.jit
-    def train_step(params, opt_state, key):
+    def train_step(params, opt_state, key, g, x, y, masks):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p}, g, x, deterministic=False, rngs={"dropout": key}
@@ -102,7 +102,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(params):
+    def eval_step(params, g, x, y, masks):
         logits = model.apply({"params": params}, g, x, deterministic=True)
         return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
 
@@ -116,14 +116,14 @@ def main():
             key, sub = jax.random.split(key)
             if epoch >= 3:
                 t0 = time.time()
-            params, opt_state, loss = train_step(params, opt_state, sub)
+            params, opt_state, loss = train_step(params, opt_state, sub, g, x, y, masks)
             loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))
             if not args.eval:
                 continue
-            accs = tuple(map(float, eval_step(params)))
+            accs = tuple(map(float, eval_step(params, g, x, y, masks)))
             logger.add_result(run, accs)
             print(
                 "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(

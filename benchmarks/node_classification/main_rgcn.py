@@ -71,7 +71,7 @@ def main():
     tx = optax.adam(args.lr)
 
     @jax.jit
-    def train_step(params, opt_state, key):
+    def train_step(params, opt_state, key, g, node_feats, edge_weights, y, masks):
         def loss_fn(p):
             out = model.apply(
                 {"params": p}, g, node_feats, edge_weights,
@@ -83,7 +83,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def forward(params):
+    def forward(params, g, node_feats, edge_weights):
         return model.apply({"params": params}, g, node_feats, edge_weights)
 
     logger = Logger(args.runs, scale=100.0)
@@ -96,13 +96,13 @@ def main():
             key, sub = jax.random.split(key)
             if epoch >= 3:
                 t0 = time.time()
-            params, opt_state, loss = train_step(params, opt_state, sub)
+            params, opt_state, loss = train_step(params, opt_state, sub, g, node_feats, edge_weights, y, masks)
             loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))
             if args.eval and (epoch + 1) % args.eval_steps == 0:
-                scores = np.asarray(forward(params))
+                scores = np.asarray(forward(params, g, node_feats, edge_weights))
                 labels_np = np.asarray(y)
                 aucs = tuple(
                     mean_multilabel_auc(

@@ -56,6 +56,9 @@ def main():
                         help="If not set, we will only do the training part.")
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-precompute", action="store_true",
+                        help="disable hoisting the (training-constant) layer-1 "
+                             "neighbor aggregation out of the step")
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
     args = parser.parse_args()
@@ -79,6 +82,14 @@ def main():
     y = jnp.asarray(data.labels)
     masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
 
+    # Hoist the layer-1 aggregation of the constant input features out of
+    # the hot loop (exact; see GraphSAGE docstring / reference use_pp trick).
+    x_agg = None
+    if not args.no_precompute:
+        from dgl_tpu.ops.spmm import gspmm_chunked
+        x_agg = gspmm_chunked(g, "copy_u", args.aggr, x)
+        jax.block_until_ready(x_agg)
+
     model = GraphSAGE(
         hidden_feats=cfg["hidden"],
         out_feats=data.num_classes,
@@ -89,12 +100,15 @@ def main():
     )
     tx = adam_l2(cfg["lr"], cfg["wd"])
 
+    # NB: graph/features/labels are jit *arguments*, never closures — closed-
+    # over arrays are baked into the HLO as constants (OOMs the compiler on
+    # reddit/products-sized data).
     @jax.jit
-    def train_step(params, batch_stats, opt_state, key):
+    def train_step(params, batch_stats, opt_state, key, g, x, y, masks, x_agg):
         def loss_fn(p):
             variables = {"params": p, **({"batch_stats": batch_stats} if batch_stats else {})}
             out = model.apply(
-                variables, g, x, deterministic=False,
+                variables, g, x, x_agg=x_agg, deterministic=False,
                 rngs={"dropout": key},
                 mutable=["batch_stats"] if batch_stats else False,
             )
@@ -106,16 +120,16 @@ def main():
         return params, new_state.get("batch_stats", batch_stats), opt_state, loss
 
     @jax.jit
-    def eval_step(params, batch_stats):
+    def eval_step(params, batch_stats, g, x, y, masks, x_agg):
         variables = {"params": params, **({"batch_stats": batch_stats} if batch_stats else {})}
-        logits = model.apply(variables, g, x, deterministic=True)
+        logits = model.apply(variables, g, x, x_agg=x_agg, deterministic=True)
         return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
 
     logger = Logger(args.runs)
     dur = []
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
-        variables = model.init(key, g, x)
+        variables = model.init(key, g, x, x_agg=x_agg)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
@@ -123,14 +137,14 @@ def main():
             key, sub = jax.random.split(key)
             if epoch >= 3:
                 t0 = time.time()
-            params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, sub)
+            params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, sub, g, x, y, masks, x_agg)
             loss = float(loss)  # sync point (parity with loss.item())
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))
             if not args.eval:
                 continue
-            accs = tuple(map(float, eval_step(params, batch_stats)))
+            accs = tuple(map(float, eval_step(params, batch_stats, g, x, y, masks, x_agg)))
             logger.add_result(run, accs)
             print(
                 "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(

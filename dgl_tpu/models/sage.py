@@ -41,13 +41,26 @@ class GraphSAGE(nn.Module):
         graphs,  # Graph | Sequence[Graph] (one block per layer)
         x: jnp.ndarray,
         *,
+        x_agg: jnp.ndarray = None,
         deterministic: bool = True,
     ):
+        """``x_agg`` (optional): precomputed ``gspmm(g, copy_u, aggr, x)`` of
+        the *input* features. In full-graph training the layer-1 neighbor
+        aggregation input never changes, so hoisting it out of the step
+        removes the entire layer-1 message passing from the hot loop —
+        mathematically exact because aggregation commutes with the linear
+        projection (same trick the reference ships as ``use_pp``,
+        ``dgl_cluster_sampler.py:71-82``). Only valid when layer-1 input has
+        no dropout applied before aggregation (our citation config applies
+        feat_drop only on the last layer, matching
+        ``main_dgl_citation_sage.py:100-101``).
+        """
         blocks = graphs if isinstance(graphs, (list, tuple)) else [graphs] * self.num_layers
         if len(blocks) != self.num_layers:
             raise ValueError(f"expected {self.num_layers} blocks, got {len(blocks)}")
         h = x
         for i, g in enumerate(blocks):
+            agg_kw = {"x_agg": x_agg} if (i == 0 and x_agg is not None) else {}
             last = i == self.num_layers - 1
             out_dim = self.out_feats if last else self.hidden_feats
             # bipartite blocks: dst nodes are the first num_dst rows of src
@@ -55,7 +68,7 @@ class GraphSAGE(nn.Module):
             if self.batch_norm:
                 # reference arxiv net: conv -> BN -> relu -> dropout
                 h = SAGEConv(out_dim, aggr=self.aggr, name=f"conv_{i}")(
-                    g, feat, deterministic=deterministic
+                    g, feat, deterministic=deterministic, **agg_kw
                 )
                 if not last:
                     h = MaskedBatchNorm(name=f"bn_{i}")(
@@ -72,5 +85,5 @@ class GraphSAGE(nn.Module):
                     feat_drop=self.dropout if last else 0.0,
                     activation=None if last else nn.relu,
                     name=f"conv_{i}",
-                )(g, feat, deterministic=deterministic)
+                )(g, feat, deterministic=deterministic, **agg_kw)
         return h

@@ -49,21 +49,47 @@ class SAGEConv(nn.Module):
     activation: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, g: Graph, x: Features, *, deterministic: bool = True):
+    def __call__(
+        self,
+        g: Graph,
+        x: Features,
+        *,
+        x_agg: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
         x_src, x_dst = _pair(x)
         if self.feat_drop > 0.0:
+            if x_agg is not None:
+                raise ValueError(
+                    "x_agg (precomputed aggregation) is invalid with feat_drop: "
+                    "dropout must be applied before aggregation"
+                )
             drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
             x_src = drop(x_src)
             x_dst = drop(x_dst) if x_dst is not x_src else x_src
         if self.aggr not in ("mean", "sum"):
             raise ValueError(f"SAGEConv aggr must be mean|sum, got {self.aggr!r}")
-        h_neigh = gspmm(g, "copy_u", self.aggr, x=x_src)
         init = xavier_uniform(relu_gain())
-        out = nn.Dense(self.out_feats, use_bias=False, kernel_init=init, name="fc_self")(
-            x_dst
-        ) + nn.Dense(self.out_feats, use_bias=True, kernel_init=init, name="fc_neigh")(
-            h_neigh
-        )
+        fc_self = nn.Dense(self.out_feats, use_bias=False, kernel_init=init, name="fc_self")
+        fc_neigh = nn.Dense(self.out_feats, use_bias=False, kernel_init=init, name="fc_neigh")
+        bias = self.param("fc_neigh_bias", nn.initializers.zeros, (self.out_feats,))
+        if x_agg is not None:
+            # precomputed gspmm(g, copy_u, aggr, x_src): hoists the entire
+            # message-passing out of the step when x_src is training-constant
+            # (full-graph layer 1); exact because aggregation commutes with
+            # the linear map (see GraphSAGE.__call__ docstring).
+            h_neigh = fc_neigh(x_agg)
+        elif self.out_feats < x_src.shape[-1]:
+            # TPU bandwidth optimization: mean/sum aggregation commutes with
+            # the linear map, so project to the narrow output dim *before*
+            # the SpMM (reddit layer 1: 602→16 cuts gather/scatter traffic
+            # ~38×; identical math — the bias is added after aggregation in
+            # both orders, preserving exact reference semantics including
+            # zero-in-degree rows and sum reduce).
+            h_neigh = gspmm(g, "copy_u", self.aggr, x=fc_neigh(x_src))
+        else:
+            h_neigh = fc_neigh(gspmm(g, "copy_u", self.aggr, x=x_src))
+        out = fc_self(x_dst) + h_neigh + bias
         if self.activation is not None:
             out = self.activation(out)
         return out

@@ -14,7 +14,7 @@ from .segment import (
     segment_min,
     segment_count,
 )
-from .spmm import gspmm, copy_u_sum, copy_u_mean, u_mul_e_sum
+from .spmm import gspmm, gspmm_chunked, copy_u_sum, copy_u_mean, u_mul_e_sum
 from .sddmm import gsddmm, u_dot_v, u_mul_v
 from .softmax import edge_softmax
 
@@ -25,6 +25,7 @@ __all__ = [
     "segment_min",
     "segment_count",
     "gspmm",
+    "gspmm_chunked",
     "copy_u_sum",
     "copy_u_mean",
     "u_mul_e_sum",

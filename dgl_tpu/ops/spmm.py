@@ -29,6 +29,7 @@ Implementation notes (XLA path — the Pallas fused kernel in
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -66,12 +67,37 @@ def _gather_src(g: Graph, x):
     return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
 
 
+def _use_cumsum_segsum() -> bool:
+    """Scatter-add is slow on TPU; a prefix-scan + indptr-diff is ~2× faster
+    for large edge counts (measured: 19ms vs 44ms on reddit (E,16)). Scan
+    reassociation costs ~1e-5 relative error, so keep exact scatter on CPU
+    (tests/oracles) and for small graphs."""
+    mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
+    if mode == "cumsum":
+        return True
+    if mode == "scatter":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _seg_sum_by_dst(g: Graph, msg):
+    """Sum messages (canonical order) by destination; (E_pad,...) → (N_dst,...)."""
+    if _use_cumsum_segsum() and g.num_edges_padded >= (1 << 16):
+        z = jnp.cumsum(msg, axis=0, dtype=msg.dtype)
+        z = jnp.concatenate([jnp.zeros((1,) + msg.shape[1:], msg.dtype), z], axis=0)
+        ends = jnp.take(z, g.indptr, axis=0)
+        return ends[1:] - ends[:-1]
+    return segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
+
+
 def _reduce(g: Graph, msg, reduce: str):
     n = g.num_dst_nodes
     if reduce == "sum":
-        return segment_sum(msg, g.dst, n, sorted=True)
+        return _seg_sum_by_dst(g, msg)
     if reduce == "mean":
-        return segment_mean(msg, g.dst, n, sorted=True)
+        s = _seg_sum_by_dst(g, msg)
+        inv = _inv_deg(g, s.dtype)
+        return s * inv.reshape(inv.shape + (1,) * (s.ndim - 1))
     if reduce == "max":
         return segment_max(msg, g.dst, n, sorted=True)
     if reduce == "min":
@@ -95,7 +121,7 @@ def _inv_deg(g: Graph, dtype):
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _spmm_xe(op: str, reduce: str, g: Graph, x, e):
     msg = _combine(op, _gather_src(g, x), e)
-    out = segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
+    out = _seg_sum_by_dst(g, msg)
     if reduce == "mean":
         inv = _inv_deg(g, out.dtype)
         out = out * inv.reshape(inv.shape + (1,) * (out.ndim - 1))
@@ -111,26 +137,35 @@ def _spmm_xe_bwd(op, reduce, res, g_out):
     if reduce == "mean":
         inv = _inv_deg(g, g_out.dtype)
         g_out = g_out * inv.reshape(inv.shape + (1,) * (g_out.ndim - 1))
-    # cotangent per message (sorted gather by dst; padded rows garbage but
-    # dropped by the reverse scatter / masked for grad_e below)
-    grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
-
-    xe = _gather_src(g, x)
-    _, vjp = jax.vjp(lambda a, b: _combine(op, a, b), xe, e)
-    grad_xe, grad_e = vjp(grad_m)
 
     rev = g.reverse
-    if rev is not None:
-        perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
-        grad_xe_rev = jnp.take(grad_xe, perm, axis=0)
-        grad_x = segment_sum(grad_xe_rev, rev.dst, rev.num_dst_nodes, sorted=True)
-    else:
-        grad_x = segment_sum(grad_xe, g.src, g.num_src_nodes, sorted=False)
-    grad_x = grad_x.astype(x.dtype)
-
+    # grad_x = transpose-SpMM: aggregate the (scaled) output cotangents over
+    # the REVERSE graph. For copy_u this is a single fused gather+reduce —
+    # on TPU the gather is per-row-bound, so halving the number of E-length
+    # gathers (vs gather-then-permute) halves backward time.
     if op in ("copy_u", "copy_lhs"):
+        if rev is not None:
+            msg = jnp.take(g_out, jnp.minimum(rev.src, rev.num_src_nodes - 1), axis=0)
+            grad_x = _seg_sum_by_dst(rev, msg)
+        else:
+            grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+            grad_x = segment_sum(grad_m, g.src, g.num_src_nodes, sorted=False)
+        grad_x = grad_x.astype(x.dtype)
         grad_e = jnp.zeros_like(e)
     else:
+        # binary ops: per-edge cotangent in canonical order (needed for
+        # grad_e anyway), then reverse-permute for the x scatter.
+        grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+        xe = _gather_src(g, x)
+        _, vjp = jax.vjp(lambda a, b: _combine(op, a, b), xe, e)
+        grad_xe, grad_e = vjp(grad_m)
+        if rev is not None:
+            perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
+            grad_xe_rev = jnp.take(grad_xe, perm, axis=0)
+            grad_x = _seg_sum_by_dst(rev, grad_xe_rev)
+        else:
+            grad_x = segment_sum(grad_xe, g.src, g.num_src_nodes, sorted=False)
+        grad_x = grad_x.astype(x.dtype)
         # zero padded-edge cotangents so garbage never reaches user edata grads
         mask = g.edge_mask(grad_e.dtype).reshape((-1,) + (1,) * (grad_e.ndim - 1))
         grad_e = (grad_e * mask).astype(e.dtype)
@@ -195,6 +230,22 @@ def gspmm(
             m = g.edge_mask(jnp.bool_).reshape((-1,) + (1,) * (msg.ndim - 1))
             msg = jnp.where(m, msg, fill)
     return _reduce(g, msg, reduce)
+
+
+def gspmm_chunked(
+    g: Graph, op: str, reduce: str, x: jnp.ndarray, chunk: int = 64
+) -> jnp.ndarray:
+    """SpMM over wide features, chunked along the feature dim.
+
+    The fused spmm materializes an (E_pad, D) message tensor; for wide inputs
+    (e.g. the one-time layer-1 precompute on reddit: 11.6M × 602 × 4B = 28GB)
+    that exceeds HBM. Chunking bounds the intermediate at E_pad × chunk.
+    """
+    outs = []
+    f = jax.jit(lambda g, xc: gspmm(g, op, reduce, x=xc), static_argnames=())
+    for lo in range(0, x.shape[-1], chunk):
+        outs.append(f(g, x[:, lo : lo + chunk]))
+    return jnp.concatenate(outs, axis=-1)
 
 
 # -- convenience aliases (the hot paths) -----------------------------------

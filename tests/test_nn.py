@@ -46,9 +46,34 @@ def test_sage_conv_math(rng):
     agg = agg / np.maximum(cnt, 1)[:, None]
     w_self = np.asarray(params["params"]["fc_self"]["kernel"])
     w_neigh = np.asarray(params["params"]["fc_neigh"]["kernel"])
-    b_neigh = np.asarray(params["params"]["fc_neigh"]["bias"])
+    b_neigh = np.asarray(params["params"]["fc_neigh_bias"])
     ref = x @ w_self + agg @ w_neigh + b_neigh
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_conv_project_first_equals_aggregate_first(rng):
+    """The bandwidth reordering (project→aggregate when out<in) must be
+    numerically equivalent to aggregate→project (same params)."""
+    n, e = 12, 40
+    g, src, dst = _graph(rng, n, e)
+    x_wide = jnp.asarray(rng.standard_normal((n, 10)).astype(np.float32))
+    conv_narrow = SAGEConv(4, aggr="mean")   # out < in → project first
+    params = conv_narrow.init(jax.random.PRNGKey(0), g, x_wide)
+    out = np.asarray(conv_narrow.apply(params, g, x_wide))
+    # oracle: aggregate first with the same extracted params
+    agg = np.zeros((n, 10))
+    cnt = np.zeros(n)
+    xw = np.asarray(x_wide)
+    for u, v in zip(src, dst):
+        agg[v] += xw[u]
+        cnt[v] += 1
+    agg /= np.maximum(cnt, 1)[:, None]
+    ref = (
+        xw @ np.asarray(params["params"]["fc_self"]["kernel"])
+        + agg @ np.asarray(params["params"]["fc_neigh"]["kernel"])
+        + np.asarray(params["params"]["fc_neigh_bias"])
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_gat_conv_math(rng):
