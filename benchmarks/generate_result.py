@@ -1,0 +1,136 @@
+"""Benchmark harness: run every workload, scrape stdout, emit a table.
+
+TPU-native equivalent of the reference's
+``end_to_end/full_graph/node_classification/generate_result.py`` (N11) and
+``graph_classification/generate_result.py`` (G5): each workload runs in a
+spawned subprocess for isolation (``generate_result.py:68,98-111`` — a crash
+is a reported failure, not a run abort), the harness injects ``--eval`` and
+scrapes the ``Training time/epoch`` / ``Final Train/Test`` stdout lines
+(``:29-44``), averaging the last 10 time samples (``:42``), and prints a
+pandas table (markdown + JSON + CSV).
+
+Usage: ``python benchmarks/generate_result.py [--suite smoke|full] [--out DIR]``
+The ``smoke`` suite uses --scale'd synthetic data and few epochs so the whole
+matrix completes in minutes (CI gate); ``full`` runs reference-sized configs.
+"""
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# (name, script, extra args per suite)
+WORKLOADS = [
+    ("cora_sage", "node_classification/main_sage.py",
+     {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
+      "full": ["--dataset", "cora"]}),
+    ("pubmed_sage", "node_classification/main_sage.py",
+     {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
+      "full": ["--dataset", "pubmed"]}),
+    ("reddit_sage", "node_classification/main_sage.py",
+     {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "8", "--runs", "1"],
+      "full": ["--dataset", "reddit"]}),
+    ("arxiv_sage", "node_classification/main_sage.py",
+     {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "8", "--runs", "1"],
+      "full": ["--dataset", "ogbn-arxiv"]}),
+    ("products_sage", "node_classification/main_sage.py",
+     {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
+      "full": ["--dataset", "ogbn-products"]}),
+    ("cora_gat", "node_classification/main_gat.py",
+     {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
+      "full": ["--dataset", "cora"]}),
+    ("pubmed_gat", "node_classification/main_gat.py",
+     {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
+      "full": ["--dataset", "pubmed"]}),
+    ("reddit_gat", "node_classification/main_gat.py",
+     {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
+      "full": ["--dataset", "reddit"]}),
+    ("arxiv_gat", "node_classification/main_gat.py",
+     {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],
+      "full": ["--dataset", "ogbn-arxiv"]}),
+    ("proteins_rgcn", "node_classification/main_rgcn.py",
+     {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
+      "full": []}),
+    ("enzymes_gcn", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
+      "full": ["--dataset", "ENZYMES"]}),
+    ("molhiv_gcn", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
+                "--runs", "1", "--hidden_size", "64"],
+      "full": ["--dataset", "ogbg-molhiv"]}),
+]
+
+TIME_RE = re.compile(r"Training time/(?:epoch|iter) ([0-9.eE+-]+)")
+FINAL_TEST_RE = re.compile(r"\s*Final Test: ([0-9.]+)")
+FINAL_TRAIN_RE = re.compile(r"\s*Final Train: ([0-9.]+)")
+
+
+def parse_output(text: str):
+    times = [float(m) for m in TIME_RE.findall(text)]
+    tests = [float(m) for m in FINAL_TEST_RE.findall(text)]
+    trains = [float(m) for m in FINAL_TRAIN_RE.findall(text)]
+    t = sum(times[-10:]) / len(times[-10:]) if times else None
+    return {
+        "time_per_epoch": t,
+        "final_train": trains[-1] if trains else None,
+        "final_test": tests[-1] if tests else None,
+    }
+
+
+def run_one(script: str, extra, timeout: int):
+    cmd = [sys.executable, os.path.join(HERE, script), "--eval", *extra]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(HERE),
+        )
+        out = proc.stdout
+        res = parse_output(out)
+        res["status"] = "ok" if proc.returncode == 0 else f"exit {proc.returncode}"
+        if proc.returncode != 0:
+            res["stderr_tail"] = "\n".join(proc.stderr.splitlines()[-5:])
+        return res
+    except subprocess.TimeoutExpired:
+        return {"status": "timeout", "time_per_epoch": None,
+                "final_train": None, "final_test": None}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--suite", choices=["smoke", "full"], default="smoke")
+    parser.add_argument("--out", type=str, default="/tmp/dgl_tpu_results")
+    parser.add_argument("--timeout", type=int, default=1800)
+    parser.add_argument("--only", type=str, default=None,
+                        help="comma-separated workload-name substring filter")
+    args = parser.parse_args()
+
+    rows = []
+    for name, script, suites in WORKLOADS:
+        if args.only and not any(s in name for s in args.only.split(",")):
+            continue
+        t0 = time.time()
+        print(f"== running {name} ...", flush=True)
+        res = run_one(script, suites[args.suite], args.timeout)
+        res["workload"] = name
+        res["wall_s"] = round(time.time() - t0, 1)
+        rows.append(res)
+        print(f"   -> {res.get('status')} time/epoch={res.get('time_per_epoch')} "
+              f"test={res.get('final_test')}", flush=True)
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows)[
+        ["workload", "status", "time_per_epoch", "final_train", "final_test", "wall_s"]
+    ]
+    os.makedirs(args.out, exist_ok=True)
+    df.to_csv(os.path.join(args.out, "results.csv"), index=False)
+    df.to_json(os.path.join(args.out, "results.json"), orient="records", indent=1)
+    print(df.to_markdown(index=False))
+
+
+if __name__ == "__main__":
+    main()

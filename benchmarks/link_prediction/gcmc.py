@@ -1,0 +1,157 @@
+"""GCMC matrix completion on MovieLens (reference P1–P4,
+``gcmc_dgl/train.py``).
+
+Semantics preserved: full-batch *iteration* loop to ``--train_max_iter``
+(``train.py:117``), CE over rating classes + expected-rating RMSE
+(``:123,137-141``), gradient clipping (``:127``), LR decay on valid-RMSE
+plateau with early stop (``:152-178``), CSV metric logging via MetricLogger
+(``:93-98``).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import softmax_ce_int  # noqa: E402
+
+from dgl_tpu.data.movielens import load_movielens  # noqa: E402
+from dgl_tpu.models import GCMCNet  # noqa: E402
+from dgl_tpu.train import MetricLogger  # noqa: E402
+import flax.linen as nn  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description="GCMC (dgl_tpu)")
+    p.add_argument("--data_name", type=str, default="ml-100k")
+    p.add_argument("--gcn_agg_units", type=int, default=500)
+    p.add_argument("--gcn_out_units", type=int, default=75)
+    p.add_argument("--gcn_dropout", type=float, default=0.7)
+    p.add_argument("--gen_r_num_basis_func", type=int, default=2)
+    p.add_argument("--train_max_iter", type=int, default=2000)
+    p.add_argument("--train_lr", type=float, default=0.01)
+    p.add_argument("--train_grad_clip", type=float, default=1.0)
+    p.add_argument("--train_valid_interval", type=int, default=5)
+    p.add_argument("--train_lr_decay_factor", type=float, default=0.5)
+    p.add_argument("--train_decay_patience", type=int, default=50)
+    p.add_argument("--train_early_stopping_patience", type=int, default=100)
+    p.add_argument("--share_param", action="store_true")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--save_dir", type=str, default="/tmp/gcmc_logs")
+    args = p.parse_args()
+    print(args)
+
+    data = load_movielens(args.data_name, seed=args.seed)
+    print(f"users={data.num_users} movies={data.num_movies} "
+          f"ratings={len(data.train[2])} classes={data.rating_vals} "
+          f"synthetic={data.synthetic}")
+    rating_arr = jnp.asarray(np.asarray(data.rating_vals, dtype=np.float32))
+
+    model = GCMCNet(
+        rating_vals=[str(r) for r in data.rating_vals],
+        msg_units=args.gcn_agg_units,
+        out_units=args.gcn_out_units,
+        dropout_rate=args.gcn_dropout,
+        agg_act=nn.leaky_relu,
+        num_basis=args.gen_r_num_basis_func,
+        share_user_item_param=args.share_param,
+    )
+    ufeat = jnp.asarray(data.user_feat)
+    ifeat = jnp.asarray(data.movie_feat)
+
+    enc_tr, dec_tr, y_tr = data.train
+    y_tr = jnp.asarray(y_tr)
+
+    params = model.init(
+        jax.random.PRNGKey(args.seed), enc_tr, dec_tr, ufeat, ifeat, data.norms
+    )["params"]
+
+    lr = args.train_lr
+
+    def make_tx(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(args.train_grad_clip), optax.adam(lr)
+        )
+
+    tx = make_tx(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, key, enc, dec, y, ufeat, ifeat, norms):
+        def loss_fn(pp):
+            logits = model.apply(
+                {"params": pp}, enc, dec, ufeat, ifeat, norms,
+                deterministic=False, rngs={"dropout": key},
+            )
+            ce = softmax_ce_int(logits, y)
+            m = dec.edge_mask()
+            return jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    @jax.jit
+    def rmse_eval(params, enc, dec, y, ufeat, ifeat, norms):
+        logits = model.apply(
+            {"params": params}, enc, dec, ufeat, ifeat, norms, deterministic=True
+        )
+        prob = jax.nn.softmax(logits, axis=-1)
+        expected = prob @ rating_arr
+        real = jnp.take(rating_arr, y)
+        m = dec.edge_mask()
+        mse = jnp.sum(((expected - real) ** 2) * m) / jnp.maximum(m.sum(), 1.0)
+        return jnp.sqrt(mse)
+
+    logger = MetricLogger(args.save_dir, "train_metrics.csv", ["iter", "loss", "rmse"])
+    vlogger = MetricLogger(args.save_dir, "valid_metrics.csv", ["iter", "rmse"])
+
+    key = jax.random.PRNGKey(args.seed)
+    best_valid = np.inf
+    best_test = np.inf
+    no_better = 0
+    dur = []
+    for it in range(args.train_max_iter):
+        key, sub = jax.random.split(key)
+        if it >= 3:
+            t0 = time.time()
+        params, opt, loss = train_step(
+            params, opt, sub, enc_tr, dec_tr, y_tr, ufeat, ifeat, data.norms
+        )
+        loss = float(loss)
+        if it >= 3:
+            dur.append(time.time() - t0)
+        if (it + 1) % args.train_valid_interval == 0:
+            valid_rmse = float(rmse_eval(params, data.valid[0], data.valid[1],
+                                         jnp.asarray(data.valid[2]), ufeat, ifeat, data.norms))
+            vlogger.log(iter=it, rmse=valid_rmse)
+            if valid_rmse < best_valid:
+                best_valid = valid_rmse
+                no_better = 0
+                best_test = float(rmse_eval(params, data.test[0], data.test[1],
+                                            jnp.asarray(data.test[2]), ufeat, ifeat, data.norms))
+            else:
+                no_better += 1
+                if no_better == args.train_decay_patience:
+                    lr *= args.train_lr_decay_factor
+                    print(f"decay lr to {lr}")
+                    tx = make_tx(lr)
+                    opt = tx.init(params)
+                if no_better >= args.train_early_stopping_patience:
+                    print("early stop")
+                    break
+            print(f"Iter={it}, loss={loss:.4f}, valid_rmse={valid_rmse:.4f}, "
+                  f"best_valid={best_valid:.4f}, best_test={best_test:.4f}")
+        logger.log(iter=it, loss=loss, rmse=0.0)
+    if dur:
+        print("Training time/iter {}".format(np.mean(dur)))
+    print(f"Best valid RMSE: {best_valid:.4f}  Test RMSE: {best_test:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Cluster-batched SAGE/GAT node classification (reference S5/S6:
+``ogbn-product/cluster-sage/dgl/main.py`` and ``cluster-gat/dgl/main.py``).
+
+Reference conventions preserved: partition count ``--psize 15000``, 32
+partitions per batch (``main.py:197,231``), partition cache on disk
+(``sampler.py:33-41``), per-epoch load/forward/backward phase timers
+(``main.py:126-165``), skip batches without train nodes (``:138-139``),
+full-graph eval (``:91-97`` — ours runs on device instead of CPU), 10-run
+best-val statistics.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
+from common import (  # noqa: E402
+    load_node_dataset,
+    masked_accuracy,
+    masked_softmax_ce,
+    print_data_stats,
+    Logger,
+)
+
+import dgl_tpu  # noqa: E402
+from dgl_tpu.data.loaders import data_root  # noqa: E402
+from dgl_tpu.models import GAT, GraphSAGE  # noqa: E402
+from dgl_tpu.sampling.cluster import ClusterIter  # noqa: E402
+from dgl_tpu.train import PhaseTimer  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description="Cluster-GCN style SAGE/GAT (dgl_tpu)")
+    p.add_argument("--gpu", type=int, default=0)
+    p.add_argument("--dataset", type=str, default="ogbn-products")
+    p.add_argument("--model", type=str, default="sage", choices=["sage", "gat"])
+    p.add_argument("--n-epochs", type=int, default=30)
+    p.add_argument("--n-hidden", type=int, default=256)
+    p.add_argument("--n-layers", type=int, default=3)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--psize", type=int, default=15000)
+    p.add_argument("--batch-size", type=int, default=32, help="partitions per step")
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scale", type=float, default=1.0)
+    args = p.parse_args()
+    print(args)
+
+    data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
+    print_data_stats(data)
+
+    cluster_iter = ClusterIter(
+        f"{args.dataset}_s{args.scale}", data.src, data.dst, data.num_nodes,
+        data.features, data.labels, data.train_mask,
+        args.psize, args.batch_size, seed=args.seed, cache_dir=data_root(),
+    )
+    g_full = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    x_full = jnp.asarray(data.features)
+    y_full = jnp.asarray(data.labels)
+    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+
+    if args.model == "sage":
+        model = GraphSAGE(
+            hidden_feats=args.n_hidden, out_feats=data.num_classes,
+            num_layers=args.n_layers, dropout=args.dropout,
+        )
+    else:
+        model = GAT(
+            hidden_feats=args.n_hidden // args.num_heads, out_feats=data.num_classes,
+            heads=tuple([args.num_heads] * (args.n_layers - 1) + [1]),
+            feat_drop=args.dropout, attn_drop=args.dropout,
+        )
+    tx = optax.adam(args.lr)
+
+    @jax.jit
+    def train_step(params, opt, key, g, x, y, mask):
+        def loss_fn(pp):
+            logits = model.apply(
+                {"params": pp}, g, x, deterministic=False, rngs={"dropout": key}
+            )
+            return masked_softmax_ce(logits, y, mask)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    @jax.jit
+    def eval_step(params, g, x, y, masks):
+        logits = model.apply({"params": params}, g, x, deterministic=True)
+        return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
+
+    logger = Logger(args.runs)
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        first = cluster_iter.first()
+        params = model.init(key, first.graph, first.x)["params"]
+        opt = tx.init(params)
+        dur = []
+        for epoch in range(args.n_epochs):
+            timer = PhaseTimer()
+            t0 = time.time()
+            loss = None
+            for batch in cluster_iter:
+                if not bool(batch.mask.any()):
+                    continue  # no train nodes in this cluster batch (main.py:138)
+                key, sub = jax.random.split(key)
+                with timer.phase("forward_backward"):
+                    params, opt, loss = train_step(
+                        params, opt, sub, batch.graph, batch.x, batch.y, batch.mask
+                    )
+                    loss = float(loss)
+            if epoch >= 3 and loss is not None:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if args.eval:
+                accs = tuple(map(float, eval_step(params, g_full, x_full, y_full, masks)))
+                logger.add_result(run, accs)
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss if loss is not None else float("nan"), *accs
+                    )
+                )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
+if __name__ == "__main__":
+    main()

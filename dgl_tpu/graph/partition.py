@@ -1,0 +1,104 @@
+"""Graph partitioning for cluster-batched training.
+
+TPU-native equivalent of the reference's METIS dependency
+(``dgl.transform.metis_partition`` in ``cluster-sage/dgl/partition_utils.py:
+9-16``, ``metis_partition_assignment`` in ``dgl_cluster_sampler.py:24``),
+with the same on-disk caching behavior (partition assignment cached to
+``.npy`` keyed by dataset+psize, ``cluster-sage/dgl/sampler.py:33-41``).
+
+METIS itself is not available in this environment; the default partitioner
+is multi-source label propagation (BFS region growing from random seeds)
+with a size-balancing pass — the locality property Cluster-GCN needs
+(edges mostly inside parts). ``method="random"`` gives the degenerate
+baseline. A native C++ partitioner can be slotted in via the same
+interface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["partition_assignment", "get_partition_list"]
+
+
+def _label_propagation_partition(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    k: int,
+    rng: np.random.Generator,
+    rounds: int = 30,
+) -> np.ndarray:
+    """Multi-source BFS growth: seed k random nodes, iteratively let
+    unassigned nodes adopt a neighbor's partition; then balance."""
+    part = np.full(num_nodes, -1, dtype=np.int64)
+    seeds = rng.choice(num_nodes, size=min(k, num_nodes), replace=False)
+    part[seeds] = np.arange(len(seeds))
+
+    for _ in range(rounds):
+        unassigned_dst = part[dst] < 0
+        ok = unassigned_dst & (part[src] >= 0)
+        if not ok.any():
+            break
+        # last-writer-wins vectorized adoption (effectively random neighbor)
+        part[dst[ok]] = part[src[ok]]
+        unassigned_src = part[src] < 0
+        ok = unassigned_src & (part[dst] >= 0)
+        part[src[ok]] = part[dst[ok]]
+        if (part >= 0).all():
+            break
+    # orphans (disconnected): assign round-robin
+    orphans = np.where(part < 0)[0]
+    part[orphans] = rng.integers(0, k, size=len(orphans))
+
+    # balance: move overflow from oversized parts to undersized ones
+    target = int(np.ceil(num_nodes / k))
+    counts = np.bincount(part, minlength=k)
+    over = np.where(counts > target * 2)[0]
+    for p in over:
+        nodes = np.where(part == p)[0]
+        excess = nodes[target * 2 :]
+        under = np.argsort(np.bincount(part, minlength=k))[: max(1, len(excess) // target + 1)]
+        part[excess] = under[np.arange(len(excess)) % len(under)]
+    return part
+
+
+def partition_assignment(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    k: int,
+    *,
+    method: str = "lp",
+    seed: int = 0,
+    cache_dir: Optional[str] = None,
+    cache_key: Optional[str] = None,
+) -> np.ndarray:
+    """(num_nodes,) partition id per node; cached like the reference."""
+    if cache_dir and cache_key:
+        path = os.path.join(cache_dir, f"{cache_key}_part_{k}_{method}.npy")
+        if os.path.exists(path):
+            return np.load(path)
+    rng = np.random.default_rng(seed)
+    if method == "random":
+        part = rng.integers(0, k, size=num_nodes)
+    elif method == "lp":
+        part = _label_propagation_partition(src, dst, num_nodes, k, rng)
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
+    if cache_dir and cache_key:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(path, part)
+    return part
+
+
+def get_partition_list(part: np.ndarray, k: int):
+    """Partition id array → list of node-id arrays (reference
+    ``get_partition_list`` shape, ``partition_utils.py``)."""
+    order = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=k)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return [order[offsets[i] : offsets[i + 1]] for i in range(k)]

@@ -1,0 +1,144 @@
+"""Cluster-GCN style partition-batched iteration.
+
+TPU-native equivalent of the reference's ``ClusterIter`` +
+``subgraph_collate_fn`` (``cluster-sage/dgl/sampler.py:11-71``) and the
+link-prediction variant with negative-edge graphs
+(``dgl_cluster_sampler.py:30-109``): each step draws ``batch_size`` random
+partitions, extracts the node-induced subgraph, slices features/labels/
+masks, and (optionally) builds a uniform-negative edge graph.
+
+Static-shape discipline: subgraph sizes vary per batch, so node/edge counts
+are padded to bucket sizes (powers-of-√2 rounding) — a handful of compiled
+programs per run instead of one per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..graph.graph import Graph, from_edges, pad_length
+from ..graph.partition import get_partition_list, partition_assignment
+from ..graph.transforms import node_subgraph
+from .dataloader import prefetch
+
+__all__ = ["ClusterIter", "ClusterBatch"]
+
+
+def _bucket(n: int) -> int:
+    """Round up to the next half-octave (×√2 steps), then to a multiple of
+    128 — bounds distinct compiled shapes at ~2 per size doubling."""
+    n = max(n, 128)
+    k = math.ceil(2.0 * math.log2(n / 128.0)) if n > 128 else 0
+    while True:
+        b = int(math.ceil(128.0 * (2.0 ** (k / 2.0))))
+        b += (-b) % 128
+        if b >= n:
+            return b
+        k += 1
+
+
+@dataclasses.dataclass
+class ClusterBatch:
+    graph: Graph
+    nodes: np.ndarray  # original node ids (host, length num_valid_nodes)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    mask: jnp.ndarray  # train mask AND valid-node mask
+    neg_graph: Optional[Graph] = None  # link prediction: uniform negatives
+
+
+class ClusterIter:
+    def __init__(
+        self,
+        name: str,
+        src: np.ndarray,
+        dst: np.ndarray,
+        num_nodes: int,
+        features: np.ndarray,
+        labels: np.ndarray,
+        train_mask: np.ndarray,
+        psize: int,
+        batch_size: int,
+        *,
+        method: str = "lp",
+        seed: int = 0,
+        cache_dir: Optional[str] = None,
+        with_negatives: bool = False,
+        prefetch_depth: int = 2,
+    ):
+        self.src, self.dst, self.num_nodes = src, dst, num_nodes
+        self.features, self.labels, self.train_mask = features, labels, train_mask
+        self.psize, self.batch_size = psize, batch_size
+        self.rng = np.random.default_rng(seed)
+        self.with_negatives = with_negatives
+        self.prefetch_depth = prefetch_depth
+        part = partition_assignment(
+            src, dst, num_nodes, psize,
+            method=method, seed=seed, cache_dir=cache_dir, cache_key=name,
+        )
+        self.par_li = get_partition_list(part, psize)
+        # host CSR by src for fast subgraph edge extraction
+        order = np.argsort(src, kind="stable")
+        self._by_src = order
+        self._src_sorted = src[order]
+        self._dst_sorted = dst[order]
+        counts = np.bincount(src, minlength=num_nodes)
+        self._src_indptr = np.concatenate([[0], np.cumsum(counts)])
+
+    def __len__(self):
+        return (self.psize + self.batch_size - 1) // self.batch_size
+
+    def _subgraph(self, nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Edges with BOTH endpoints in ``nodes``, relabelled."""
+        present = np.zeros(self.num_nodes, dtype=bool)
+        present[nodes] = True
+        # candidate edges: those whose src is in the node set (CSR slices)
+        spans = [
+            np.arange(self._src_indptr[v], self._src_indptr[v + 1]) for v in nodes
+        ]
+        cand = np.concatenate(spans) if spans else np.zeros(0, np.int64)
+        cand = cand[present[self._dst_sorted[cand]]]
+        mapping = np.zeros(self.num_nodes, dtype=np.int64)
+        mapping[nodes] = np.arange(len(nodes))
+        return mapping[self._src_sorted[cand]], mapping[self._dst_sorted[cand]]
+
+    def _collate(self, part_ids: np.ndarray) -> ClusterBatch:
+        nodes = np.concatenate([self.par_li[i] for i in part_ids])
+        s, d = self._subgraph(nodes)
+        n = len(nodes)
+        n_pad = _bucket(n)
+        e_pad = _bucket(len(s))
+        g = from_edges(s, d, n_pad, e_pad=e_pad)
+        x = np.zeros((n_pad,) + self.features.shape[1:], dtype=self.features.dtype)
+        x[:n] = self.features[nodes]
+        y = np.zeros((n_pad,) + self.labels.shape[1:], dtype=self.labels.dtype)
+        y[:n] = self.labels[nodes]
+        m = np.zeros(n_pad, dtype=bool)
+        m[:n] = self.train_mask[nodes]
+        neg = None
+        if self.with_negatives:
+            # uniform negative dst per positive edge (dgl_cluster_sampler.py:97-109)
+            neg_dst = self.rng.integers(0, max(n, 1), size=len(s))
+            neg = from_edges(s, neg_dst, n_pad, e_pad=e_pad)
+        return ClusterBatch(
+            graph=g, nodes=nodes, x=jnp.asarray(x), y=jnp.asarray(y),
+            mask=jnp.asarray(m), neg_graph=neg,
+        )
+
+    def first(self) -> ClusterBatch:
+        """One batch without the prefetch thread (for model.init)."""
+        return self._collate(np.arange(min(self.batch_size, self.psize)))
+
+    def _gen(self) -> Iterator[ClusterBatch]:
+        perm = self.rng.permutation(self.psize)
+        for i in range(0, self.psize, self.batch_size):
+            yield self._collate(perm[i : i + self.batch_size])
+
+    def __iter__(self):
+        return prefetch(self._gen(), self.prefetch_depth)

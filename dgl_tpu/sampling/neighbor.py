@@ -1,0 +1,200 @@
+"""Host-side neighbor sampling producing static-shape bipartite blocks.
+
+TPU-native equivalent of DGL's C++ sampling stack
+(``dgl.dataloading.sample_neighbors`` → ``to_block`` composition shown in the
+reference at ``ns-gat-dgl.py:22-42``; ``MultiLayerNeighborSampler`` +
+``NodeDataLoader`` at ``ns-sage-dgl.py:132-141``).
+
+Design differences, deliberate and TPU-first:
+
+* **Sampling with replacement, exactly `fanout` per seed** (the reference's
+  products sampler also uses ``replace=True``): every block then has the
+  *static* shape ``num_dst = B``, ``num_src = B + B·fanout``,
+  ``E = B·fanout`` — one compiled program for the whole epoch.
+* **No src-node deduplication.** DGL compacts unique neighbors to minimise
+  the host feature gather + H2D copy. Here the full feature matrix stays
+  device-resident and the per-step gather is a device row-gather whose cost
+  at minibatch scale is microseconds — dedup would only destroy shape
+  stability. Seeds occupy the first ``B`` src slots (so ``h_dst = h[:B]``,
+  same convention as ``ns-sage-dgl.py:51-57``).
+* Edges are generated seed-major so ``dst`` is already sorted — block
+  construction is O(E) with no sort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import Graph, pad_length
+from .dataloader import prefetch
+
+__all__ = ["CSRGraph", "MultiLayerNeighborSampler", "NodeDataLoader", "MiniBatch"]
+
+
+@dataclasses.dataclass
+class CSRGraph:
+    """Host CSC (in-edge) adjacency for sampling: in-neighbors of node v are
+    ``indices[indptr[v]:indptr[v+1]]``."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    num_nodes: int
+
+    @staticmethod
+    def from_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> "CSRGraph":
+        order = np.argsort(dst, kind="stable")
+        counts = np.bincount(dst, minlength=num_nodes)
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRGraph(indptr, np.asarray(src)[order], num_nodes)
+
+
+@dataclasses.dataclass
+class MiniBatch:
+    """One sampled step: blocks are innermost-last (apply in list order)."""
+
+    blocks: List[Graph]
+    input_nodes: jnp.ndarray  # (num_src of outermost block,) int32
+    seeds: jnp.ndarray  # (B,) int32, padded with 0
+    seed_mask: jnp.ndarray  # (B,) bool — False for padding seeds
+
+
+class MultiLayerNeighborSampler:
+    """Fanout-per-layer sampler (fanouts listed outermost-first, like DGL's
+    ``MultiLayerNeighborSampler([10, 25])`` in ``ns-sage-dgl.py:132``)."""
+
+    def __init__(self, fanouts: Sequence[int], replace: bool = True):
+        if not replace:
+            raise NotImplementedError(
+                "without-replacement sampling breaks static shapes; "
+                "use replace=True (reference products sampler does too)"
+            )
+        self.fanouts = list(fanouts)
+
+    def sample_layer(
+        self, csr: CSRGraph, seeds: np.ndarray, fanout: int, rng: np.random.Generator
+    ) -> np.ndarray:
+        """(len(seeds), fanout) sampled in-neighbor ids; rows of zero-degree
+        seeds reference the seed itself (self-message keeps shapes static and
+        contributes the node's own state, matching DGL's isolated-node
+        behavior under replace sampling as closely as possible)."""
+        deg = csr.indptr[seeds + 1] - csr.indptr[seeds]
+        r = rng.integers(0, np.maximum(deg, 1)[:, None], size=(len(seeds), fanout))
+        picks = csr.indices[csr.indptr[seeds][:, None] + r]
+        return np.where(deg[:, None] > 0, picks, seeds[:, None])
+
+    def sample(
+        self, csr: CSRGraph, seeds: np.ndarray, rng: np.random.Generator, b_pad: int
+    ) -> MiniBatch:
+        b = len(seeds)
+        seeds_p = np.zeros(b_pad, dtype=np.int64)
+        seeds_p[:b] = seeds
+        mask = np.zeros(b_pad, dtype=bool)
+        mask[:b] = True
+
+        blocks: List[Graph] = []
+        cur = seeds_p
+        # innermost-first construction (like ns-gat-dgl.py:40 reversal)
+        for fanout in reversed(self.fanouts):
+            nbrs = self.sample_layer(csr, cur, fanout, rng)  # (len(cur), fanout)
+            n_dst = len(cur)
+            n_src = n_dst + n_dst * fanout
+            # src list = dst nodes first, then sampled neighbors
+            src_ids = np.concatenate([cur, nbrs.reshape(-1)])
+            # edges: neighbor slot (n_dst + i*fanout + j) → dst i; seed-major
+            # generation means BOTH src and dst are already ascending, so the
+            # forward block and its transpose share the same edge order and
+            # everything stays sort-free.
+            n_e = n_dst * fanout
+            e_pad = pad_length(n_e)
+            e_src = np.full(e_pad, n_src, dtype=np.int32)
+            e_src[:n_e] = n_dst + np.arange(n_e)
+            e_dst = np.full(e_pad, n_dst, dtype=np.int32)
+            e_dst[:n_e] = np.repeat(np.arange(n_dst), fanout)
+            eid = np.arange(e_pad, dtype=np.int32)
+            indptr = np.zeros(n_dst + 1, dtype=np.int32)
+            indptr[1:] = np.cumsum(np.full(n_dst, fanout))
+            # analytic transpose: in-degree 0 for the first n_dst src slots,
+            # 1 for every neighbor slot
+            rev_indptr = np.maximum(0, np.arange(n_src + 1, dtype=np.int32) - n_dst)
+            rev = Graph(
+                src=jnp.asarray(e_dst),
+                dst=jnp.asarray(e_src),
+                indptr=jnp.asarray(rev_indptr),
+                eid=jnp.asarray(eid),
+                num_src_nodes=n_dst,
+                num_dst_nodes=n_src,
+                num_edges=n_e,
+                reverse=None,
+            )
+            blk = Graph(
+                src=jnp.asarray(e_src),
+                dst=jnp.asarray(e_dst),
+                indptr=jnp.asarray(indptr),
+                eid=jnp.asarray(eid),
+                num_src_nodes=n_src,
+                num_dst_nodes=n_dst,
+                num_edges=n_e,
+                reverse=rev,
+            )
+            blocks.append(blk)
+            cur = src_ids
+        blocks.reverse()
+        return MiniBatch(
+            blocks=blocks,
+            input_nodes=jnp.asarray(cur.astype(np.int32)),
+            seeds=jnp.asarray(seeds_p.astype(np.int32)),
+            seed_mask=jnp.asarray(mask),
+        )
+
+
+class NodeDataLoader:
+    """Shuffled seed-batch iterator with background sampling.
+
+    Equivalent of ``dgl.dataloading.NodeDataLoader`` (``ns-sage-dgl.py:
+    134-141``): shuffling, fixed batch shapes (last batch padded), prefetch
+    thread standing in for worker processes.
+    """
+
+    def __init__(
+        self,
+        csr: CSRGraph,
+        nids: np.ndarray,
+        sampler: MultiLayerNeighborSampler,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch_depth: int = 3,
+    ):
+        self.csr = csr
+        self.nids = np.asarray(nids)
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch_depth = prefetch_depth
+
+    def __len__(self):
+        n = len(self.nids)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _gen(self) -> Iterator[MiniBatch]:
+        idx = self.nids.copy()
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        for i in range(0, stop, self.batch_size):
+            seeds = idx[i : i + self.batch_size]
+            yield self.sampler.sample(self.csr, seeds, self.rng, self.batch_size)
+
+    def __iter__(self):
+        return prefetch(self._gen(), self.prefetch_depth)

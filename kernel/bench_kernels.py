@@ -1,0 +1,115 @@
+"""SpMM / SDDMM kernel microbenchmarks (reference L0 tier:
+``kernel/dgl-new.py`` + ``kernel/utils.py``).
+
+Same protocol: sweep feature sizes 2^0..2^7, 10 reps with 2 cold-start
+skipped (``dgl-new.py:8,18-23``), per-size OOM caught (``:26-27``), datasets
+reddit / ogbn-arxiv / ogbn-proteins (``utils.py:50-61``), binary-op ×
+reduce-op axes from the CLI (``:48-58``).
+
+TPU methodology: timing uses a scalar-carry chain + host fetch — plain
+``block_until_ready`` under the remote TPU tunnel does not give reliable
+per-op times (see dgl_tpu docs / tpu-gather-perf notes).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/kernel/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+import dgl_tpu
+from dgl_tpu.data import load_node_dataset
+from dgl_tpu.ops import gsddmm, gspmm
+
+N_REPEATS = 10
+N_COLD_START = 2
+FEAT_SIZES = [2**x for x in range(8)]
+
+
+def bench_op(fn, *args):
+    fj = jax.jit(fn)
+    c = jnp.float32(0.0)
+    for _ in range(N_COLD_START):
+        c = fj(c, *args)
+    float(c)
+    t0 = time.perf_counter()
+    for _ in range(N_REPEATS):
+        c = fj(c, *args)
+    float(c)  # hard sync
+    return (time.perf_counter() - t0) / N_REPEATS
+
+
+def bench_spmm(g, binary_op, reduce_op, scale):
+    print("SPMM\n----")
+    data = load_node_dataset(g, scale=scale)
+    graph = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    rng = np.random.default_rng(0)
+    for n_hid in FEAT_SIZES:
+        try:
+            nfeat = (
+                jnp.asarray(rng.standard_normal((graph.num_src_nodes, n_hid)).astype(np.float32))
+                if binary_op != "copy_rhs" else None
+            )
+            efeat = (
+                jnp.asarray(rng.standard_normal((graph.num_edges_padded, n_hid)).astype(np.float32))
+                if binary_op != "copy_lhs" else None
+            )
+
+            def run(c, nfeat=nfeat, efeat=efeat):
+                x = None if nfeat is None else nfeat + c
+                e = None if efeat is None else efeat + c
+                out = gspmm(graph, binary_op, reduce_op, x=x, e=e)
+                return jnp.sum(out) * 1e-30 + c
+
+            avg = bench_op(run)
+            print("hidden size: {}, avg time: {}".format(n_hid, avg))
+        except Exception as e:  # OOM etc → report and continue (dgl-new.py:26)
+            print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
+
+
+def bench_sddmm(g, binary_op, scale):
+    print("SDDMM\n----")
+    data = load_node_dataset(g, scale=scale)
+    graph = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    rng = np.random.default_rng(0)
+    for n_hid in FEAT_SIZES:
+        try:
+            ufeat = jnp.asarray(rng.standard_normal((graph.num_src_nodes, n_hid)).astype(np.float32))
+            vfeat = jnp.asarray(rng.standard_normal((graph.num_dst_nodes, n_hid)).astype(np.float32))
+
+            def run(c, u=ufeat, v=vfeat):
+                out = gsddmm(graph, binary_op, u + c, v + c, mask_padding=False)
+                return jnp.sum(out) * 1e-30 + c
+
+            avg = bench_op(run)
+            print("hidden size: {}, avg time: {}".format(n_hid, avg))
+        except Exception as e:
+            print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("benchmark on g-spmm and g-sddmm (dgl_tpu)")
+    parser.add_argument("--spmm-binary", type=str, default="copy_lhs",
+                        choices=["add", "sub", "mul", "div", "copy_lhs", "copy_rhs"])
+    parser.add_argument("--spmm-reduce", type=str, default="sum",
+                        choices=["sum", "mean", "max", "min"])
+    parser.add_argument("--sddmm-binary", type=str, default="add",
+                        choices=["add", "sub", "mul", "div", "dot"])
+    parser.add_argument("-g", "--gpu", type=str, default="0", help="unused (TPU)")
+    parser.add_argument("--datasets", type=str, default="reddit,ogbn-arxiv,ogbn-proteins")
+    parser.add_argument("--scale", type=float, default=1.0)
+    parser.add_argument("--skip-sddmm", action="store_true")
+    parser.add_argument("--skip-spmm", action="store_true")
+    args = parser.parse_args()
+    print(args)
+    for dataset in args.datasets.split(","):
+        print("benchmarking on:", dataset)
+        if not args.skip_spmm:
+            bench_spmm(dataset, args.spmm_binary, args.spmm_reduce, args.scale)
+        if not args.skip_sddmm:
+            bench_sddmm(dataset, args.sddmm_binary, args.scale)

@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distribution (SURVEY §2.2); these tests validate the
+new capability: edge/node-partitioned execution must be bit-compatible with
+single-device execution, and the full training step must compile + run
+under real shardings.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import dgl_tpu
+from dgl_tpu.models import GraphSAGE
+from dgl_tpu.ops import gspmm
+from dgl_tpu.parallel import device_mesh, graph_sharding, replicated, shard_graph
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _toy(rng, n=256, e=1024, d=16):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n, e_pad=1024)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    return g, x
+
+
+def test_sharded_spmm_matches_single_device(rng):
+    g, x = _toy(rng)
+    ref = np.asarray(gspmm(g, "copy_u", "mean", x=x))
+
+    mesh = device_mesh((1, 8), ("data", "graph"))
+    g_sh = shard_graph(g, mesh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("graph")))
+    out = jax.jit(lambda g, x: gspmm(g, "copy_u", "mean", x=x))(g_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_training_step_runs_and_matches(rng):
+    g, x = _toy(rng)
+    y = jnp.asarray(rng.integers(0, 4, g.num_nodes))
+    model = GraphSAGE(hidden_feats=16, out_feats=4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), g, x)["params"]
+
+    def loss_fn(p, g, x, y):
+        logits = model.apply({"params": p}, g, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    grads_ref = jax.grad(loss_fn)(params, g, x, y)
+
+    mesh = device_mesh((1, 8), ("data", "graph"))
+    g_sh = shard_graph(g, mesh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("graph")))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P("graph")))
+    p_sh = jax.device_put(params, replicated(mesh))
+    grads = jax.jit(jax.grad(loss_fn))(p_sh, g_sh, x_sh, y_sh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 1024
+    ge.dryrun_multichip(8)
