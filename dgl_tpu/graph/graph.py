@@ -174,19 +174,23 @@ def _build_sorted(
     num_dst: int,
     e_pad: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Sort edges by dst (stable), build indptr, pad with sentinels."""
+    """Sort edges by dst (stable, O(E) native counting sort when available),
+    build indptr, pad with sentinels."""
+    from ..csrc import native  # lazy: csrc compiles on first use
+
     num_e = len(src)
-    order = np.argsort(dst, kind="stable").astype(np.int64)
+    indptr64, src_sorted, order = native.build_csr(
+        np.asarray(dst, dtype=np.int64), np.asarray(src, dtype=np.int64), num_dst
+    )
     s = np.full(e_pad, num_src, dtype=np.int32)
     d = np.full(e_pad, num_dst, dtype=np.int32)
     e = np.full(e_pad, num_e, dtype=np.int32)
-    s[:num_e] = src[order]
-    d[:num_e] = dst[order]
+    s[:num_e] = src_sorted
+    d[:num_e] = np.repeat(
+        np.arange(num_dst, dtype=np.int32), np.diff(indptr64).astype(np.int64)
+    )
     e[:num_e] = order
-    counts = np.bincount(dst, minlength=num_dst).astype(np.int64)
-    indptr = np.zeros(num_dst + 1, dtype=np.int32)
-    np.cumsum(counts, out=indptr[1:])
-    return s, d, indptr, e
+    return s, d, indptr64.astype(np.int32), e
 
 
 def from_edges(

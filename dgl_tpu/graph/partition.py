@@ -86,7 +86,11 @@ def partition_assignment(
     if method == "random":
         part = rng.integers(0, k, size=num_nodes)
     elif method == "lp":
-        part = _label_propagation_partition(src, dst, num_nodes, k, rng)
+        from ..csrc import native
+
+        part = native.partition_lp(src, dst, num_nodes, k, 30, seed)
+        if part is None:
+            part = _label_propagation_partition(src, dst, num_nodes, k, rng)
     else:
         raise ValueError(f"unknown partition method {method!r}")
     if cache_dir and cache_key:

@@ -83,30 +83,21 @@ class ClusterIter:
             method=method, seed=seed, cache_dir=cache_dir, cache_key=name,
         )
         self.par_li = get_partition_list(part, psize)
-        # host CSR by src for fast subgraph edge extraction
-        order = np.argsort(src, kind="stable")
-        self._by_src = order
-        self._src_sorted = src[order]
-        self._dst_sorted = dst[order]
-        counts = np.bincount(src, minlength=num_nodes)
-        self._src_indptr = np.concatenate([[0], np.cumsum(counts)])
+        # host CSR by src + native subgraph extractor (C++ with NumPy
+        # fallback — the dgl.node_subgraph role)
+        from ..csrc import native
+
+        indptr, dst_sorted, _ = native.build_csr(
+            np.asarray(src, np.int64), np.asarray(dst, np.int64), num_nodes
+        )
+        self._extractor = native.SubgraphExtractor(indptr, dst_sorted, num_nodes)
 
     def __len__(self):
         return (self.psize + self.batch_size - 1) // self.batch_size
 
     def _subgraph(self, nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Edges with BOTH endpoints in ``nodes``, relabelled."""
-        present = np.zeros(self.num_nodes, dtype=bool)
-        present[nodes] = True
-        # candidate edges: those whose src is in the node set (CSR slices)
-        spans = [
-            np.arange(self._src_indptr[v], self._src_indptr[v + 1]) for v in nodes
-        ]
-        cand = np.concatenate(spans) if spans else np.zeros(0, np.int64)
-        cand = cand[present[self._dst_sorted[cand]]]
-        mapping = np.zeros(self.num_nodes, dtype=np.int64)
-        mapping[nodes] = np.arange(len(nodes))
-        return mapping[self._src_sorted[cand]], mapping[self._dst_sorted[cand]]
+        return self._extractor.extract(nodes)
 
     def _collate(self, part_ids: np.ndarray) -> ClusterBatch:
         nodes = np.concatenate([self.par_li[i] for i in part_ids])

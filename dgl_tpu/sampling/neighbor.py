@@ -84,10 +84,12 @@ class MultiLayerNeighborSampler:
         seeds reference the seed itself (self-message keeps shapes static and
         contributes the node's own state, matching DGL's isolated-node
         behavior under replace sampling as closely as possible)."""
-        deg = csr.indptr[seeds + 1] - csr.indptr[seeds]
-        r = rng.integers(0, np.maximum(deg, 1)[:, None], size=(len(seeds), fanout))
-        picks = csr.indices[csr.indptr[seeds][:, None] + r]
-        return np.where(deg[:, None] > 0, picks, seeds[:, None])
+        from ..csrc import native
+
+        return native.sample_neighbors(
+            csr.indptr, csr.indices, seeds, fanout,
+            int(rng.integers(0, 2**63 - 1)),
+        )
 
     def sample(
         self, csr: CSRGraph, seeds: np.ndarray, rng: np.random.Generator, b_pad: int
