@@ -56,6 +56,9 @@ def main():
                         help="If not set, we will only do the training part.")
     parser.add_argument("--runs", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ckpt-dir", type=str, default=None,
+                        help="enable checkpoint/resume (orbax) in this directory")
+    parser.add_argument("--ckpt-every", type=int, default=50)
     parser.add_argument("--no-precompute", action="store_true",
                         help="disable hoisting the (training-constant) layer-1 "
                              "neighbor aggregation out of the step")
@@ -125,6 +128,11 @@ def main():
         logits = model.apply(variables, g, x, x_agg=x_agg, deterministic=True)
         return tuple(masked_accuracy(logits, y, masks[k]) for k in ("train", "val", "test"))
 
+    ckpt = None
+    if args.ckpt_dir:
+        from dgl_tpu.train import CheckpointManager
+        ckpt = CheckpointManager(args.ckpt_dir, save_interval=args.ckpt_every)
+
     logger = Logger(args.runs)
     dur = []
     for run in range(args.runs):
@@ -133,7 +141,14 @@ def main():
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
-        for epoch in range(cfg["epochs"]):
+        start_epoch = 0
+        if ckpt is not None and run == 0:
+            (params, batch_stats, opt_state, key), start_epoch = ckpt.restore_or(
+                (params, batch_stats, opt_state, key)
+            )
+            if start_epoch:
+                print(f"resumed from checkpoint at epoch {start_epoch}")
+        for epoch in range(start_epoch, cfg["epochs"]):
             key, sub = jax.random.split(key)
             if epoch >= 3:
                 t0 = time.time()
@@ -144,6 +159,8 @@ def main():
                 print("Training time/epoch {}".format(np.mean(dur)))
             if not args.eval:
                 continue
+            if ckpt is not None and run == 0:
+                ckpt.save(epoch, (params, batch_stats, opt_state, key))
             accs = tuple(map(float, eval_step(params, batch_stats, g, x, y, masks, x_agg)))
             logger.add_result(run, accs)
             print(
@@ -155,6 +172,8 @@ def main():
             logger.print_statistics(run)
     if args.eval:
         logger.print_statistics()
+    if ckpt is not None:
+        ckpt.close()
 
 
 if __name__ == "__main__":

@@ -92,18 +92,23 @@ class Graph:
     num_dst_nodes: int
     num_edges: int
     reverse: Optional["Graph"] = None
+    # Sampled blocks with exactly `block_fanout` in-edges per dst node laid
+    # out positionally (src slot of edge (i,j) == num_dst + i*fanout + j):
+    # their SpMM needs no gather/scatter at all — ops take a reshape-reduce
+    # fast path. Set by MultiLayerNeighborSampler.
+    block_fanout: Optional[int] = None
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         leaves = (self.src, self.dst, self.indptr, self.eid, self.reverse)
-        aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges)
+        aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges, self.block_fanout)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         src, dst, indptr, eid, reverse = leaves
-        n_src, n_dst, n_e = aux
-        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse)
+        n_src, n_dst, n_e, bf = aux
+        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf)
 
     # -- basic properties --------------------------------------------------
     @property

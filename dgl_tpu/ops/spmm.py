@@ -210,6 +210,20 @@ def gspmm(
     if needs_e and e is None:
         raise ValueError(f"spmm op {op!r} requires edge features e")
 
+    if (
+        g.block_fanout is not None
+        and op in ("copy_u", "copy_lhs")
+        and reduce in ("sum", "mean", "max", "min")
+    ):
+        # positional sampled block: edge (i, j)'s source is slot
+        # num_dst + i*fanout + j, so aggregation is a pure reshape-reduce —
+        # zero gather/scatter (and its AD is a reshape-broadcast).
+        f = g.block_fanout
+        nd = g.num_dst_nodes
+        neigh = x[nd : nd + nd * f].reshape((nd, f) + x.shape[1:])
+        return {
+            "sum": jnp.sum, "mean": jnp.mean, "max": jnp.max, "min": jnp.min
+        }[reduce](neigh, axis=1)
     if needs_x and needs_e and reduce in ("sum", "mean"):
         return _spmm_xe(op, reduce, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):

@@ -5,6 +5,7 @@ from .spmd import (
     node_sharding,
     shard_graph,
 )
+from .halo import ShardedGraph, shard_fullgraph, halo_spmm, place
 
 __all__ = [
     "device_mesh",
@@ -12,4 +13,8 @@ __all__ = [
     "graph_sharding",
     "node_sharding",
     "shard_graph",
+    "ShardedGraph",
+    "shard_fullgraph",
+    "halo_spmm",
+    "place",
 ]

@@ -1,0 +1,140 @@
+"""Edge-partitioned full-graph SpMM with explicit collectives (shard_map).
+
+This is the north-star capability from SURVEY §5/§7: the reference can only
+full-graph-train what fits one GPU (OOM rows in README.md:43,46); here the
+graph AND the activations are sharded over the ``graph`` mesh axis so memory
+scales with devices:
+
+* nodes are owned in contiguous ranges of ``N/k`` per device (relabel by a
+  locality partition first for smaller halos);
+* each device stores the in-edges of its own dst range (src ids global);
+* forward: ``all_gather`` the sharded source features over ICI (the halo
+  exchange — v1 gathers the full feature matrix; boundary-only exchange is
+  the planned refinement), then a *local* fused gather+segment-reduce
+  produces the device's own dst rows;
+* backward: JAX transposes ``all_gather`` into ``psum_scatter``, so the
+  gradient flows back as a reduce-scatter — exactly the hand-written
+  distributed SpMM-transpose, derived automatically.
+
+Compare ``spmd.py``: that path keeps activations replicated and lets GSPMD
+insert collectives (simple, memory-bound by one device); this path is the
+explicitly-sharded scalable one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..graph.graph import Graph, pad_length
+
+__all__ = ["ShardedGraph", "shard_fullgraph", "halo_spmm"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedGraph:
+    """Stacked per-shard edge structure (leading dim = shard).
+
+    src:    (k, E_sh) int32 — GLOBAL source ids (sentinel num_nodes pads)
+    indptr: (k, nodes_per_shard + 1) int32 — local in-edge offsets for the
+            shard's own dst range; dst-sorted within the shard.
+    num_nodes / nodes_per_shard / num_shards: static.
+    """
+
+    src: jnp.ndarray
+    indptr: jnp.ndarray
+    num_nodes: int
+    nodes_per_shard: int
+    num_shards: int
+
+    def tree_flatten(self):
+        return (self.src, self.indptr), (self.num_nodes, self.nodes_per_shard, self.num_shards)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+def shard_fullgraph(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, num_shards: int
+) -> Tuple[ShardedGraph, int]:
+    """Partition edges by contiguous dst ranges (host-side).
+
+    Returns (sharded_graph, n_pad) where node arrays must be padded to
+    ``n_pad = nodes_per_shard * num_shards`` rows.
+    """
+    nps = pad_length(-(-num_nodes // num_shards), 8)
+    n_pad = nps * num_shards
+    shard_of = dst // nps
+    e_pad = pad_length(int(np.bincount(shard_of, minlength=num_shards).max()))
+
+    from ..csrc import native
+
+    src_s = np.full((num_shards, e_pad), n_pad, dtype=np.int32)
+    indptr_s = np.zeros((num_shards, nps + 1), dtype=np.int32)
+    for s in range(num_shards):
+        m = shard_of == s
+        d_local = dst[m] - s * nps
+        indptr, src_sorted, _ = native.build_csr(
+            np.asarray(d_local, np.int64), np.asarray(src[m], np.int64), nps
+        )
+        src_s[s, : m.sum()] = src_sorted
+        indptr_s[s] = indptr
+    return (
+        ShardedGraph(
+            src=jnp.asarray(src_s),
+            indptr=jnp.asarray(indptr_s),
+            num_nodes=num_nodes,
+            nodes_per_shard=nps,
+            num_shards=num_shards,
+        ),
+        n_pad,
+    )
+
+
+def place(sg: ShardedGraph, mesh: Mesh, axis: str = "graph") -> ShardedGraph:
+    """Put the stacked shard arrays so each device holds its own shard."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.device_put(sg, ShardedGraph(sh, sh, sg.num_nodes, sg.nodes_per_shard, sg.num_shards))
+
+
+def halo_spmm(
+    sg: ShardedGraph,
+    x: jnp.ndarray,  # (n_pad, D) sharded P(axis) on rows
+    mesh: Mesh,
+    axis: str = "graph",
+    reduce: str = "mean",
+) -> jnp.ndarray:
+    """copy_u SpMM over the sharded graph; returns (n_pad, D) row-sharded."""
+
+    def local(src_s, indptr_s, x_s):
+        # src_s (1, E_sh), indptr_s (1, nps+1), x_s (nps, D)
+        src_l = src_s[0]
+        indptr_l = indptr_s[0]
+        x_full = jax.lax.all_gather(x_s, axis, tiled=True)  # halo exchange
+        msg = jnp.take(x_full, jnp.minimum(src_l, sg.num_nodes - 1), axis=0)
+        z = jnp.cumsum(msg, axis=0, dtype=msg.dtype)
+        z = jnp.concatenate([jnp.zeros((1,) + msg.shape[1:], msg.dtype), z], axis=0)
+        ends = jnp.take(z, indptr_l, axis=0)
+        out = ends[1:] - ends[:-1]
+        if reduce == "mean":
+            deg = jnp.maximum(indptr_l[1:] - indptr_l[:-1], 1).astype(out.dtype)
+            out = out / deg[:, None]
+        return out
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(sg.src, sg.indptr, x)

@@ -144,6 +144,7 @@ class MultiLayerNeighborSampler:
                 num_dst_nodes=n_dst,
                 num_edges=n_e,
                 reverse=rev,
+                block_fanout=fanout,
             )
             blocks.append(blk)
             cur = src_ids

@@ -163,3 +163,24 @@ def test_graph_batch_loader_bucketing(rng):
         count += int(batch.graph_mask().sum())
     assert count == 20
     assert len(shapes) == 1  # single bucket → single compiled shape
+
+
+def test_block_fanout_fast_path_matches_generic(rng):
+    """The positional reshape-reduce fast path must equal the generic
+    gather+segment path."""
+    import dataclasses
+    src, dst, n = _rand_graph(rng)
+    csr = CSRGraph.from_edges(src, dst, n)
+    mb = MultiLayerNeighborSampler([4]).sample(csr, rng.choice(n, 6, replace=False), rng, 6)
+    blk = mb.blocks[0]
+    assert blk.block_fanout == 4
+    x = jnp.asarray(rng.standard_normal((blk.num_src_nodes, 5)).astype(np.float32))
+    generic_blk = dataclasses.replace(blk, block_fanout=None)
+    for red in ("sum", "mean", "max"):
+        fast = np.asarray(gspmm(blk, "copy_u", red, x=x))
+        ref = np.asarray(gspmm(generic_blk, "copy_u", red, x=x))
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+    # gradients too
+    g1 = jax.grad(lambda x: jnp.sum(gspmm(blk, "copy_u", "mean", x=x) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(gspmm(generic_blk, "copy_u", "mean", x=x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
