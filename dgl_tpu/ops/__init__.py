@@ -17,6 +17,7 @@ from .segment import (
 from .spmm import gspmm, gspmm_chunked, copy_u_sum, copy_u_mean, u_mul_e_sum
 from .sddmm import gsddmm, u_dot_v, u_mul_v
 from .softmax import edge_softmax
+from .gather import gather_dst, gather_src
 
 __all__ = [
     "segment_sum",
@@ -33,4 +34,6 @@ __all__ = [
     "u_dot_v",
     "u_mul_v",
     "edge_softmax",
+    "gather_dst",
+    "gather_src",
 ]

@@ -1,0 +1,57 @@
+"""Edge-side gathers, TPU-optimized.
+
+``gather_dst(g, v)`` produces ``v[dst[e]]`` for every edge. On a dst-sorted
+graph this is repeat-interleave by in-degree, which can be computed WITHOUT
+a per-edge gather: scatter first-differences of ``v`` at the row starts
+(``indptr``, an N-row scatter) and prefix-scan over edges. On v5e the row
+gather is per-row bound (~11ns/row — see tpu-gather-perf notes), so this
+scan formulation is ~8× faster at reddit scale (N-row scatter ≈ 2.6ms +
+cumsum ≈ 13ms vs 130ms).
+
+Telescoping handles zero-degree nodes: several rows sharing one indptr
+position accumulate their diffs, so the running sum at edge ``e`` is exactly
+``v[owner(e)]``.
+
+``gather_src`` has no such structure (src is unordered) and stays a row
+gather.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import Graph
+
+__all__ = ["gather_dst", "gather_src"]
+
+
+def _use_scan(g: Graph) -> bool:
+    mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
+    if mode == "cumsum":
+        return True
+    if mode == "scatter":
+        return False
+    return jax.default_backend() == "tpu" and g.num_edges_padded >= (1 << 16)
+
+
+def gather_src(g: Graph, x):
+    """x[src[e]] — per-edge source gather (row-bound)."""
+    return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
+
+
+def gather_dst(g: Graph, v):
+    """v[dst[e]] for valid edges (padding tail carries the last value —
+    callers must treat padded rows as garbage, as with every edge op)."""
+    if not _use_scan(g):
+        return jnp.take(v, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+    e_pad = g.num_edges_padded
+    diffs = jnp.concatenate([v[:1], v[1:] - v[:-1]], axis=0)  # (N, ...)
+    z = jnp.zeros((e_pad,) + v.shape[1:], v.dtype)
+    # drop out-of-range starts (trailing zero-degree nodes when the edge
+    # array is exactly full) instead of clamping — clamping would corrupt
+    # the final edge slot
+    z = z.at[g.indptr[:-1]].add(diffs, indices_are_sorted=True, mode="drop")
+    return jnp.cumsum(z, axis=0, dtype=v.dtype)

@@ -22,6 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..graph.graph import Graph
+from .gather import gather_dst
 
 __all__ = ["gsddmm", "u_dot_v", "u_mul_v"]
 
@@ -50,10 +51,10 @@ def gsddmm(
     if op in ("copy_u", "copy_lhs"):
         out = _gather(g.src, g.num_src_nodes, u)
     elif op in ("copy_v", "copy_rhs"):
-        out = _gather(g.dst, g.num_dst_nodes, v)
+        out = gather_dst(g, v)
     else:
         ue = _gather(g.src, g.num_src_nodes, u)
-        ve = _gather(g.dst, g.num_dst_nodes, v)
+        ve = gather_dst(g, v)
         if op == "add":
             out = ue + ve
         elif op == "sub":

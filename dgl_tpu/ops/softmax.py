@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..graph.graph import Graph
 from .segment import segment_sum
+from .gather import gather_dst
 import jax
 
 __all__ = ["edge_softmax"]
@@ -33,14 +34,15 @@ def edge_softmax(g: Graph, logits: jnp.ndarray) -> jnp.ndarray:
     Trailing dims (e.g. attention heads) are independent.
     """
     n = g.num_dst_nodes
-    dst_c = jnp.minimum(g.dst, n - 1)
     # mask padded logits to -inf so they never affect the max
     m = g.edge_mask(jnp.bool_).reshape((-1,) + (1,) * (logits.ndim - 1))
     z = jnp.where(m, logits, -jnp.inf)
     seg_max = jax.ops.segment_max(z, g.dst, num_segments=n, indices_are_sorted=True)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    shifted = jnp.where(m, logits - jnp.take(seg_max, dst_c, axis=0), -jnp.inf)
+    # dst-side spreads use the scan-based gather (see ops/gather.py) — on
+    # TPU this avoids two per-row E-gathers per softmax
+    shifted = jnp.where(m, logits - gather_dst(g, seg_max), -jnp.inf)
     expz = jnp.exp(shifted)
     denom = segment_sum(expz, g.dst, n, sorted=True)
-    denom = jnp.take(denom, dst_c, axis=0)
+    denom = gather_dst(g, denom)
     return expz / jnp.maximum(denom, jnp.finfo(expz.dtype).tiny)

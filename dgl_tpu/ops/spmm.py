@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.graph import Graph
+from .gather import gather_dst
 from .segment import segment_max, segment_mean, segment_min, segment_sum
 
 __all__ = ["gspmm", "copy_u_sum", "copy_u_mean", "u_mul_e_sum"]
@@ -155,7 +156,7 @@ def _spmm_xe_bwd(op, reduce, res, g_out):
     else:
         # binary ops: per-edge cotangent in canonical order (needed for
         # grad_e anyway), then reverse-permute for the x scatter.
-        grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+        grad_m = gather_dst(g, g_out)
         xe = _gather_src(g, x)
         _, vjp = jax.vjp(lambda a, b: _combine(op, a, b), xe, e)
         grad_xe, grad_e = vjp(grad_m)

@@ -193,3 +193,41 @@ def test_spmm_jit_and_vmap_compatible(rng):
     out1 = f(g, x)
     out2 = gspmm(g, "copy_u", "mean", x=x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_gather_dst_scan_path(rng, monkeypatch):
+    """Force the scan-based dst gather and compare against plain take,
+    including zero-degree nodes and an exactly-full edge array."""
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "cumsum")
+    from dgl_tpu.ops.gather import gather_dst
+
+    n = 20
+    # include zero-degree nodes (no in-edges for nodes 15..19)
+    src = rng.integers(0, n, 128)
+    dst = rng.integers(0, 15, 128)
+    g = from_edges(src, dst, n, e_pad=128)  # exactly full, no padding
+    assert g.num_edges_padded == g.num_edges == 128
+    v = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    out = np.asarray(gather_dst(g, v))
+    ref = np.asarray(v)[np.asarray(g.dst)]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # padded case: only valid rows must match
+    g2 = from_edges(src[:100], dst[:100], n, e_pad=256)
+    out2 = np.asarray(gather_dst(g2, v))[: g2.num_edges]
+    ref2 = np.asarray(v)[np.asarray(g2.dst)[: g2.num_edges]]
+    np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-5)
+
+
+def test_edge_softmax_scan_path_matches(rng, monkeypatch):
+    n, n_e = 30, 300
+    src = rng.integers(0, n, n_e)
+    dst = rng.integers(0, n, n_e)
+    g = from_edges(src, dst, n)
+    logits = jnp.asarray(rng.standard_normal((g.num_edges_padded, 2)).astype(np.float32))
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "scatter")
+    a_ref = np.asarray(edge_softmax(g, logits))
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "cumsum")
+    a_scan = np.asarray(edge_softmax(g, logits))
+    np.testing.assert_allclose(a_scan[: g.num_edges], a_ref[: g.num_edges],
+                               rtol=1e-4, atol=1e-5)
