@@ -126,7 +126,7 @@ def synthetic_node_classification(
 
     if cache_dir:
         key = hashlib.md5(
-            f"{name}-{seed}-{homophily}-{noise}-{scale}-v1".encode()
+            f"{name}-{seed}-{homophily}-{noise}-{scale}-v2".encode()
         ).hexdigest()[:12]
         path = os.path.join(cache_dir, f"syn_{name}_{key}.npz")
         if os.path.exists(path):
@@ -139,12 +139,18 @@ def synthetic_node_classification(
 
     rng = np.random.default_rng(seed)
     if name == "ogbn-proteins":
-        # multilabel tasks; node feats are all-ones in the reference driver
-        labels = (rng.random((n, c)) < 0.1).astype(np.float32)
+        # multilabel tasks carried by STRUCTURE (node features are all-ones
+        # in the reference driver): draw a latent embedding, derive labels
+        # from it, and make the 8 relation weights reflect endpoint
+        # similarity so edge-weighted aggregation can recover the latents.
+        z = rng.standard_normal((n, 8)).astype(np.float32)
+        w_lab = rng.standard_normal((8, c)).astype(np.float32)
+        labels = ((z @ w_lab) > 0.8).astype(np.float32)
         src = _powerlaw_targets(rng, n, e)
         dst = rng.integers(0, n, size=e)
+        sim = z[src] * z[dst]  # (e, 8) per-relation affinity
+        edge_feat = (1.0 / (1.0 + np.exp(-sim))).astype(np.float32)
         x = np.ones((n, d), dtype=np.float32)
-        edge_feat = rng.random((e, 8)).astype(np.float32)
         y_for_masks = None
     else:
         labels = rng.integers(0, c, size=n).astype(np.int64)
@@ -207,12 +213,17 @@ def synthetic_graph_classification(
                 [rng.integers(0, hi, size=len(src) * 0 + n) for hi in (40, 4, 8, 8, 6, 4, 4, 2, 2)],
                 axis=1,
             ).astype(np.int32)
-            # class-informative first column
-            nf[:, 0] = (nf[:, 0] + y) % 40
+            # class-informative atom-category distribution: class y shifts
+            # the first column's range (overlapping, so the task is
+            # learnable but not trivial)
+            nf[:, 0] = rng.integers(0, 30, size=n) + (y % 2) * 10
             ef = np.stack([rng.integers(0, hi, size=len(src)) for hi in (5, 6, 2)], axis=1).astype(np.int32)
         elif feat == "ppa":
             nf = np.zeros((n, 1), dtype=np.int32)
-            ef = rng.random((len(src), 7)).astype(np.float32)
+            # class signal lives in the edge features (ppa's node encoder is
+            # a single shared embedding, so edges must carry the label)
+            proto = np.sin(np.arange(7) * (1 + y))  # class-specific pattern
+            ef = (proto + 0.8 * rng.standard_normal((len(src), 7))).astype(np.float32)
         else:
             means = np.linspace(-1, 1, c)[y]
             nf = (means + 0.7 * rng.standard_normal((n, feat))).astype(np.float32)
