@@ -6,6 +6,7 @@ from .spmd import (
     shard_graph,
 )
 from .halo import ShardedGraph, shard_fullgraph, halo_spmm, place
+from .dp import stack_minibatches, make_dp_train_step
 
 __all__ = [
     "device_mesh",
@@ -17,4 +18,6 @@ __all__ = [
     "shard_fullgraph",
     "halo_spmm",
     "place",
+    "stack_minibatches",
+    "make_dp_train_step",
 ]

@@ -55,14 +55,27 @@ class CSRGraph:
         return CSRGraph(indptr, np.asarray(src)[order], num_nodes)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MiniBatch:
-    """One sampled step: blocks are innermost-last (apply in list order)."""
+    """One sampled step: blocks are innermost-last (apply in list order).
+
+    Registered as a pytree so minibatches can be jit arguments and stacked
+    for data-parallel replicas (``parallel.dp.stack_minibatches``).
+    """
 
     blocks: List[Graph]
     input_nodes: jnp.ndarray  # (num_src of outermost block,) int32
     seeds: jnp.ndarray  # (B,) int32, padded with 0
     seed_mask: jnp.ndarray  # (B,) bool — False for padding seeds
+
+    def tree_flatten(self):
+        return (tuple(self.blocks), self.input_nodes, self.seeds, self.seed_mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        blocks, input_nodes, seeds, seed_mask = leaves
+        return cls(list(blocks), input_nodes, seeds, seed_mask)
 
 
 class MultiLayerNeighborSampler:

@@ -99,3 +99,54 @@ def test_halo_spmm_matches_single_device(rng):
     # backward flows through all_gather -> reduce_scatter transpose
     grad = jax.jit(jax.grad(lambda x: jnp.sum(halo_spmm(sg, x, mesh) ** 2)))(x_sh)
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_dp_minibatch_training(rng):
+    """8-way data-parallel sampled minibatch step: grads == mean of
+    single-replica grads."""
+    import optax
+    from dgl_tpu.models import GraphSAGE
+    from dgl_tpu.parallel import make_dp_train_step, stack_minibatches
+    from dgl_tpu.sampling import CSRGraph, MultiLayerNeighborSampler
+
+    n, e, d, c = 200, 1500, 8, 4
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    csr = CSRGraph.from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n))
+
+    sampler = MultiLayerNeighborSampler([3, 3])
+    mbs = [sampler.sample(csr, rng.choice(n, 16, replace=False), rng, 16) for _ in range(8)]
+    stacked = stack_minibatches(mbs)
+
+    model = GraphSAGE(hidden_feats=8, out_feats=c, num_layers=2, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), mbs[0].blocks,
+                        jnp.take(x, mbs[0].input_nodes, axis=0))["params"]
+    tx = optax.sgd(0.1)
+    opt = tx.init(params)
+
+    def loss_fn(p, mb, x, y):
+        bx = jnp.take(x, mb.input_nodes, axis=0)
+        by = jnp.take(y, mb.seeds, axis=0)
+        logits = model.apply({"params": p}, mb.blocks, bx)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(logp, by[:, None], 1)[:, 0]
+        m = mb.seed_mask.astype(ce.dtype)
+        return jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
+
+    mesh = device_mesh((8, 1), ("data", "graph"))
+    step = make_dp_train_step(loss_fn, tx, mesh)
+    new_params, opt, loss = step(params, opt, stacked, x, y)
+
+    # oracle: mean of per-replica losses/grads
+    losses, grads = [], []
+    for mb in mbs:
+        l, g = jax.value_and_grad(loss_fn)(params, mb, x, y)
+        losses.append(float(l))
+        grads.append(g)
+    np.testing.assert_allclose(float(loss), np.mean(losses), rtol=1e-5)
+    mean_grads = jax.tree_util.tree_map(lambda *gs: sum(gs) / len(gs), *grads)
+    ref_params = optax.apply_updates(params, tx.update(mean_grads, tx.init(params), params)[0])
+    for a, b in zip(jax.tree_util.tree_leaves(new_params), jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
