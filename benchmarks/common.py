@@ -80,13 +80,9 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     neg = scores[labels == 0]
     if len(pos) == 0 or len(neg) == 0:
         return float("nan")
-    order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
-    ranks = np.empty(len(order), dtype=np.float64)
-    ranks[order] = np.arange(1, len(order) + 1)
-    # average ties
+    # tie-averaged ranks
     allv = np.concatenate([pos, neg])
-    sorted_v = allv[order]
-    uniq, inv, counts = np.unique(sorted_v, return_inverse=True, return_counts=True)
+    uniq, counts = np.unique(allv, return_counts=True)
     cum = np.cumsum(counts)
     avg_rank = (cum - (counts - 1) / 2.0).astype(np.float64)
     ranks_tied = avg_rank[np.searchsorted(uniq, allv)]

@@ -73,13 +73,13 @@ def main():
     )["params"]
 
     lr = args.train_lr
-
-    def make_tx(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(args.train_grad_clip), optax.adam(lr)
-        )
-
-    tx = make_tx(lr)
+    # LR must be carried in the optimizer STATE (inject_hyperparams): the
+    # jitted step closes over tx once, so rebuilding tx on decay would
+    # never reach the compiled update.
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.train_grad_clip),
+        optax.inject_hyperparams(optax.adam)(learning_rate=args.train_lr),
+    )
     opt = tx.init(params)
 
     @jax.jit
@@ -140,8 +140,9 @@ def main():
                 if no_better == args.train_decay_patience:
                     lr *= args.train_lr_decay_factor
                     print(f"decay lr to {lr}")
-                    tx = make_tx(lr)
-                    opt = tx.init(params)
+                    # mutate the lr inside the optimizer state (adam moments
+                    # are preserved, matching torch lr-scheduler semantics)
+                    opt[1].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
                 if no_better >= args.train_early_stopping_patience:
                     print("early stop")
                     break

@@ -157,10 +157,10 @@ def main():
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))
-            if not args.eval:
-                continue
             if ckpt is not None and run == 0:
                 ckpt.save(epoch, (params, batch_stats, opt_state, key))
+            if not args.eval:
+                continue
             accs = tuple(map(float, eval_step(params, batch_stats, g, x, y, masks, x_agg)))
             logger.add_result(run, accs)
             print(

@@ -105,16 +105,25 @@ class GCMCLayer(nn.Module):
 
         outs: Dict[str, list] = {"user": [], "movie": []}
         for rating in self.rating_vals:
+            w_shared = None
+            if self.share_user_item_param:
+                if ufeat.shape[-1] != ifeat.shape[-1]:
+                    raise ValueError(
+                        "share_user_item_param requires equal user/movie "
+                        f"feature dims, got {ufeat.shape[-1]} vs {ifeat.shape[-1]}"
+                    )
+                # one shared W_r per rating, used by both the forward and
+                # reverse relation (created once — flax forbids re-creating
+                # a param within a single __call__)
+                w_shared = self.param(
+                    f"W_r_{rating}", xavier_uniform(),
+                    (ufeat.shape[-1], msg_units),
+                )
             for rel, rev in ((str(rating), False), (f"rev-{rating}", True)):
                 stype, dtype = ("movie", "user") if rev else ("user", "movie")
                 etype = (stype, rel, dtype)
                 if self.share_user_item_param:
-                    # shared W_r between forward and reverse relation
-                    w = self.param(
-                        f"W_r_{rating}",
-                        xavier_uniform(),
-                        (feats[stype].shape[-1], msg_units),
-                    )
+                    w = w_shared
                     conv = GCMCGraphConv(
                         msg_units,
                         use_weight=False,

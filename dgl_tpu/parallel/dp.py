@@ -51,7 +51,6 @@ def make_dp_train_step(
             grads = jax.lax.pmean(grads, axis)
             return loss, grads
 
-        n_axes = {ax: 1 for ax in mesh.axis_names if ax != axis}
         in_specs = (P(), jax.tree_util.tree_map(lambda _: P(axis), stacked_mb), *(P() for _ in consts))
         loss, grads = shard_map(
             per_replica,

@@ -81,23 +81,13 @@ class GraphBatchLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch_depth = prefetch_depth
 
-        sizes_n = np.array([g[2] for g in graphs])
-        sizes_e = np.array([len(g[0]) for g in graphs])
-        order = np.argsort(-sizes_n)  # worst-case packing bound: largest graphs
-        nb = max(
-            (
-                sizes_n[order[i : i + batch_size]].sum()
-                for i in range(0, len(graphs), batch_size)
-            ),
-            default=batch_size,
-        )
-        eb = max(
-            (
-                sizes_e[order[i : i + batch_size]].sum()
-                for i in range(0, len(graphs), batch_size)
-            ),
-            default=batch_size,
-        )
+        # worst-case bounds for an ARBITRARY shuffled batch: the top
+        # batch_size graphs by node count / by edge count respectively
+        # (independent orders — a batch can maximize either axis)
+        sizes_n = np.sort(np.array([g[2] for g in graphs]))[::-1]
+        sizes_e = np.sort(np.array([len(g[0]) for g in graphs]))[::-1]
+        nb = int(sizes_n[:batch_size].sum()) if len(graphs) else batch_size
+        eb = int(sizes_e[:batch_size].sum()) if len(graphs) else batch_size
         self.n_pad = n_pad or pad_length(int(nb))
         self.e_pad = e_pad or pad_length(int(eb))
 

@@ -48,11 +48,12 @@ class CSRGraph:
 
     @staticmethod
     def from_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> "CSRGraph":
-        order = np.argsort(dst, kind="stable")
-        counts = np.bincount(dst, minlength=num_nodes)
-        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return CSRGraph(indptr, np.asarray(src)[order], num_nodes)
+        from ..csrc import native
+
+        indptr, indices, _ = native.build_csr(
+            np.asarray(dst, np.int64), np.asarray(src, np.int64), num_nodes
+        )
+        return CSRGraph(indptr, indices, num_nodes)
 
 
 @jax.tree_util.register_pytree_node_class

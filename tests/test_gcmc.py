@@ -108,3 +108,34 @@ def test_movielens_pipeline():
     # norms shaped per node type
     ci_u, cj_u = data.norms["user"]
     assert ci_u.shape == (943, 1)
+
+
+def test_gcmc_layer_share_param(rng):
+    """share_user_item_param must build one W_r per rating (regression:
+    duplicate param creation crashed flax)."""
+    from dgl_tpu.nn import GCMCLayer
+
+    n_u, n_m = 6, 5
+    rels = {}
+    for r in ("1", "2"):
+        s = rng.integers(0, n_u, 8)
+        d = rng.integers(0, n_m, 8)
+        rels[("user", r, "movie")] = from_edges(s, d, n_u, n_m)
+        rels[("movie", f"rev-{r}", "user")] = from_edges(d, s, n_m, n_u)
+    hg = HeteroGraph(rels, {"user": n_u, "movie": n_m})
+    u = jnp.asarray(rng.standard_normal((n_u, 4)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n_m, 4)).astype(np.float32))
+    norms = {
+        "user": (jnp.ones((n_u, 1)), jnp.ones((n_u, 1))),
+        "movie": (jnp.ones((n_m, 1)), jnp.ones((n_m, 1))),
+    }
+    layer = GCMCLayer(rating_vals=["1", "2"], msg_units=4, out_units=3,
+                      share_user_item_param=True)
+    params = layer.init(jax.random.PRNGKey(0), hg, u, v, norms)
+    ou, oi = layer.apply(params, hg, u, v, norms)
+    assert ou.shape == (n_u, 3) and oi.shape == (n_m, 3)
+    assert "W_r_1" in params["params"] and "W_r_2" in params["params"]
+    # unequal dims -> clean error
+    with pytest.raises(ValueError, match="equal user/movie"):
+        layer.init(jax.random.PRNGKey(0), hg, u,
+                   jnp.zeros((n_m, 7)), norms)

@@ -184,3 +184,20 @@ def test_block_fanout_fast_path_matches_generic(rng):
     g1 = jax.grad(lambda x: jnp.sum(gspmm(blk, "copy_u", "mean", x=x) ** 2))(x)
     g2 = jax.grad(lambda x: jnp.sum(gspmm(generic_blk, "copy_u", "mean", x=x) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_graph_batch_loader_epad_bound_holds_for_any_batch(rng):
+    """Regression: e_pad must bound batches that maximize edges but not
+    nodes (review finding — node-sorted chunks underestimated edges)."""
+    graphs = [
+        (rng.integers(0, 100, 10), rng.integers(0, 100, 10), 100),
+        (rng.integers(0, 99, 1000), rng.integers(0, 99, 1000), 99),
+        (rng.integers(0, 98, 10), rng.integers(0, 98, 10), 98),
+        (rng.integers(0, 97, 1000), rng.integers(0, 97, 1000), 97),
+    ]
+    feats = [np.zeros((g[2], 3), np.float32) for g in graphs]
+    loader = GraphBatchLoader(graphs, feats, np.zeros(4, np.int64), batch_size=2, seed=1)
+    # iterate several shuffled epochs; the edge-heavy pair must collate fine
+    for _ in range(6):
+        for batch, nf, ef, y in loader:
+            assert batch.graph.num_edges <= loader.e_pad
