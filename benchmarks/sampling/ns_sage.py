@@ -54,6 +54,9 @@ def main():
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--inductive", action="store_true",
+                   help="inductive split: sample/train only on the train-node "
+                        "subgraph (reference ns-sage-dgl.py:225-228)")
     args = p.parse_args()
     print(args)
 
@@ -63,13 +66,21 @@ def main():
     if len(fanouts) != args.num_layers:
         raise ValueError("--fan-out length must equal --num-layers")
 
-    csr = CSRGraph.from_edges(data.src, data.dst, data.num_nodes)
-    g_full = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
-    x = jnp.asarray(data.features)
-    y = jnp.asarray(data.labels)
     train_nid = np.where(data.train_mask)[0]
     val_nid = np.where(data.val_mask)[0]
     test_nid = np.where(data.test_mask)[0]
+    src_tr, dst_tr = data.src, data.dst
+    if args.inductive:
+        # train-time graph = node-induced subgraph on train nodes, with ids
+        # kept GLOBAL so features/labels index unchanged
+        from dgl_tpu.graph.transforms import node_subgraph
+        keep = np.zeros(data.num_nodes, bool); keep[train_nid] = True
+        m = keep[data.src] & keep[data.dst]
+        src_tr, dst_tr = data.src[m], data.dst[m]
+    csr = CSRGraph.from_edges(src_tr, dst_tr, data.num_nodes)
+    g_full = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    x = jnp.asarray(data.features)
+    y = jnp.asarray(data.labels)
 
     sampler = MultiLayerNeighborSampler(fanouts)
     loader = NodeDataLoader(csr, train_nid, sampler, args.batch_size, seed=args.seed)
