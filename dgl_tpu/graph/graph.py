@@ -97,18 +97,22 @@ class Graph:
     # their SpMM needs no gather/scatter at all — ops take a reshape-reduce
     # fast path. Set by MultiLayerNeighborSampler.
     block_fanout: Optional[int] = None
+    # Optional Pallas lane-SpMM attachment (kernels.attach.LaneAttachment):
+    # when present (and the op/shape qualifies) gspmm dispatches to the
+    # fused lane kernel instead of the XLA gather path.
+    lane: Optional[Any] = None
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        leaves = (self.src, self.dst, self.indptr, self.eid, self.reverse)
+        leaves = (self.src, self.dst, self.indptr, self.eid, self.reverse, self.lane)
         aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges, self.block_fanout)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, indptr, eid, reverse = leaves
+        src, dst, indptr, eid, reverse, lane = leaves
         n_src, n_dst, n_e, bf = aux
-        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf)
+        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf, lane)
 
     # -- basic properties --------------------------------------------------
     @property

@@ -1,0 +1,77 @@
+"""Attach lane-SpMM execution plans to a Graph.
+
+``attach_lane_plans(g)`` precomputes the Pallas lane plan for the forward
+graph and (for backward) its transpose, stores them on the Graph (pytree
+field ``lane``), and returns the augmented Graph. ``gspmm`` then dispatches
+``copy_u × sum/mean`` to the fused kernel automatically when the plan's
+padding expansion is acceptable and the shape qualifies.
+
+Tip: relabel nodes by a locality partition first (``partition_assignment``
++ contiguous renumbering) — the plan's expansion factor, printed by this
+function, is the thing to optimize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from ..graph.graph import Graph, from_edges
+from .lane_spmm import LanePlan, build_plan
+
+__all__ = ["LaneAttachment", "attach_lane_plans"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class LaneAttachment:
+    plan: LanePlan
+    remainder: Optional[Graph]  # sparse-tile edges for the XLA path
+
+    def tree_flatten(self):
+        return (self.plan, self.remainder), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def _attach_one(g: Graph, dense_threshold: int, max_expansion: float) -> Optional[LaneAttachment]:
+    src, dst = g.edges_numpy()
+    plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
+                      dense_threshold=dense_threshold)
+    rem_frac = len(plan.rem_src) / max(g.num_edges, 1)
+    print(
+        f"[dgl_tpu.kernels] lane plan: expansion={plan.expansion:.2f} "
+        f"remainder={rem_frac:.1%} chunks={plan.num_chunks}",
+        file=sys.stderr,
+    )
+    if plan.expansion > max_expansion:
+        return None
+    rem = None
+    if len(plan.rem_src):
+        rem = from_edges(
+            plan.rem_src, plan.rem_dst, g.num_src_nodes, g.num_dst_nodes,
+            build_reverse=False,
+        )
+    return LaneAttachment(plan=plan, remainder=rem)
+
+
+def attach_lane_plans(
+    g: Graph, *, dense_threshold: int = 48, max_expansion: float = 2.5
+) -> Graph:
+    """Returns ``g`` with lane plans attached to it and its reverse (when
+    profitable); returns ``g`` unchanged if the graph tiles too sparsely."""
+    fwd = _attach_one(g, dense_threshold, max_expansion)
+    if fwd is None:
+        return g
+    rev = g.reverse
+    if rev is not None:
+        rev_att = _attach_one(rev, dense_threshold, max_expansion)
+        rev = dataclasses.replace(rev, lane=rev_att)
+    return dataclasses.replace(g, lane=fwd, reverse=rev)

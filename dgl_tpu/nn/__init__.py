@@ -11,6 +11,7 @@ from .gcmc import GCMCGraphConv, GCMCLayer, BiDecoder, DenseBiDecoder
 from .encoders import AtomEncoder, BondEncoder, CategoricalEncoder
 from .predictors import DotPredictor, MLPPredictor, PairMLPPredictor
 from .norm import MaskedBatchNorm
+from .pooling import AvgPooling, SumPooling, MaxPooling
 from .init import xavier_uniform, relu_gain, kaiming_uniform_fan_in
 
 __all__ = [
@@ -31,6 +32,9 @@ __all__ = [
     "MLPPredictor",
     "PairMLPPredictor",
     "MaskedBatchNorm",
+    "AvgPooling",
+    "SumPooling",
+    "MaxPooling",
     "xavier_uniform",
     "relu_gain",
     "kaiming_uniform_fan_in",

@@ -111,6 +111,71 @@ def _inv_deg(g: Graph, dtype):
     return 1.0 / deg
 
 
+# -- Pallas lane-kernel dispatch (copy_u × sum/mean) -----------------------
+
+
+def _lane_eligible(g: Graph, x, op: str, reduce: str) -> bool:
+    return (
+        g.lane is not None
+        and op in ("copy_u", "copy_lhs")
+        and reduce in ("sum", "mean")
+        and x is not None
+        and x.ndim == 2
+        and x.shape[1] <= 32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("DGL_TPU_NO_LANE")
+    )
+
+
+def _lane_forward_sum(g: Graph, x):
+    """copy_u sum via the attached lane plan + XLA remainder."""
+    from ..kernels.lane_spmm import lane_spmm
+
+    att = g.lane
+    out = lane_spmm(att.plan, x)[: g.num_dst_nodes]
+    if att.remainder is not None:
+        rem = att.remainder
+        msg = jnp.take(x, jnp.minimum(rem.src, rem.num_src_nodes - 1), axis=0)
+        out = out + _seg_sum_by_dst(rem, msg)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lane_copy_u(reduce: str, g: Graph, x):
+    out = _lane_forward_sum(g, x)
+    if reduce == "mean":
+        inv = _inv_deg(g, out.dtype)
+        out = out * inv[:, None]
+    return out
+
+
+def _lane_copy_u_fwd(reduce, g, x):
+    return _lane_copy_u(reduce, g, x), (g, x)
+
+
+def _lane_copy_u_bwd(reduce, res, g_out):
+    g, x = res
+    if reduce == "mean":
+        g_out = g_out * _inv_deg(g, g_out.dtype)[:, None]
+    rev = g.reverse
+    # transpose SpMM over the reverse graph — lane kernel again if attached
+    if rev is not None and rev.lane is not None and g_out.shape[1] <= 32:
+        grad_x = _lane_forward_sum(rev, g_out)
+    elif rev is not None:
+        msg = jnp.take(g_out, jnp.minimum(rev.src, rev.num_src_nodes - 1), axis=0)
+        grad_x = _seg_sum_by_dst(rev, msg)
+    else:
+        grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
+        grad_x = segment_sum(grad_m, g.src, g.num_src_nodes, sorted=False)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_x.astype(x.dtype)
+
+
+_lane_copy_u.defvjp(_lane_copy_u_fwd, _lane_copy_u_bwd)
+
+
 # -- custom-VJP core for ops that gather x (sum/mean reduce) ---------------
 #
 # fwd:  out = segment_sum_by_dst(op(x[src], e)) [* 1/deg for mean]
@@ -225,6 +290,9 @@ def gspmm(
         return {
             "sum": jnp.sum, "mean": jnp.mean, "max": jnp.max, "min": jnp.min
         }[reduce](neigh, axis=1)
+    if _lane_eligible(g, x, op, reduce):
+        # fused Pallas lane kernel (see kernels/lane_spmm.py)
+        return _lane_copy_u(reduce, g, x)
     if needs_x and needs_e and reduce in ("sum", "mean"):
         return _spmm_xe(op, reduce, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):

@@ -71,3 +71,40 @@ def test_lane_spmm_rejects_wide_features(rng):
     plan = build_plan(src, dst, n, n)
     with pytest.raises(ValueError, match="D<=32"):
         lane_spmm(plan, jnp.zeros((n, 64)), interpret=True)
+
+
+def test_attach_and_dispatch_interpret(rng, monkeypatch):
+    """attach_lane_plans + gspmm dispatch: value and grad must match the XLA
+    path (interpret-mode kernel; dispatch forced on via backend monkeypatch)."""
+    import dgl_tpu.ops.spmm as spmm_mod
+    from dgl_tpu.kernels import attach_lane_plans
+    import importlib
+    lane_mod = importlib.import_module("dgl_tpu.kernels.lane_spmm")
+
+    n, e, d = 2000, 30000, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    ref = np.asarray(gspmm(g, "copy_u", "mean", x=x))
+    ref_grad = np.asarray(
+        jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", "mean", x=x) ** 2))(x)
+    )
+
+    g2 = attach_lane_plans(g, dense_threshold=1, max_expansion=100.0)
+    assert g2.lane is not None and g2.reverse.lane is not None
+    # force dispatch on CPU via interpret-mode kernel
+    monkeypatch.setattr(spmm_mod.jax, "default_backend", lambda: "tpu")
+    orig = lane_mod.lane_spmm
+    monkeypatch.setattr(
+        lane_mod, "lane_spmm",
+        lambda plan, x, **kw: orig(plan, x, **{**kw, "interpret": True,
+                                               "compute_dtype": jnp.float32}),
+    )
+    out = np.asarray(gspmm(g2, "copy_u", "mean", x=x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    grad = np.asarray(
+        jax.grad(lambda x: jnp.sum(gspmm(g2, "copy_u", "mean", x=x) ** 2))(x)
+    )
+    np.testing.assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-3)
