@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no-precompute", action="store_true")
     parser.add_argument("--dataset", type=str, default="reddit")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax profiler trace of 3 epochs to this dir")
     args = parser.parse_args()
 
     import jax
@@ -113,6 +115,14 @@ def main():
     # under contention; time each epoch with a hard host sync (the reference
     # syncs per epoch via loss.item() too) and report the MINIMUM — the
     # machine-capability number — with the distribution on stderr.
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(3):
+                key, sub = jax.random.split(key)
+                params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
+            jax.block_until_ready(l)
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+
     times = []
     for _ in range(args.epochs):
         key, sub = jax.random.split(key)

@@ -106,6 +106,9 @@ def main():
     parser.add_argument("--timeout", type=int, default=1800)
     parser.add_argument("--only", type=str, default=None,
                         help="comma-separated workload-name substring filter")
+    parser.add_argument("--retries", type=int, default=1,
+                        help="re-run a failed workload up to N times (the shared "
+                             "TPU pool has transient failures)")
     args = parser.parse_args()
 
     rows = []
@@ -115,6 +118,11 @@ def main():
         t0 = time.time()
         print(f"== running {name} ...", flush=True)
         res = run_one(script, suites[args.suite], args.timeout)
+        attempt = 0
+        while res.get("status") != "ok" and attempt < args.retries:
+            attempt += 1
+            print(f"   retry {attempt} ({res.get('status')})", flush=True)
+            res = run_one(script, suites[args.suite], args.timeout)
         res["workload"] = name
         res["wall_s"] = round(time.time() - t0, 1)
         rows.append(res)
