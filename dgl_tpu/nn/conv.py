@@ -22,6 +22,7 @@ import flax.linen as nn
 
 from ..graph.graph import Graph
 from ..ops import edge_softmax, gspmm, gsddmm
+from ..ops.gather import gather_dst, gather_src_rows
 from .init import kaiming_uniform_fan_in, relu_gain, xavier_uniform
 
 Features = Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
@@ -128,16 +129,21 @@ class GATConv(nn.Module):
 
         att_l = self.param("attn_l", xavier_uniform(), (1, H, D))
         att_r = self.param("attn_r", xavier_uniform(), (1, H, D))
-        # per-node attention halves (the SDDMM-add trick: logits decompose as
-        # el[dst] + er[src], so the SDDMM is an 'add' on scalars per head)
+        # Single shared src gather for the whole layer (row gathers are
+        # per-row-bound on TPU, so the attention half er[src] is computed
+        # from the SAME gathered rows used for aggregation — one row-op
+        # forward, one backward via gather_src_rows' custom VJP; all other
+        # edge-wise spreads/reductions are scan-based).
+        z_e = gather_src_rows(g, z_src.reshape(-1, H * D)).reshape(-1, H, D)
+        er_e = jnp.sum(z_e * att_r, axis=-1)  # (E, H)
         el = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
-        er = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
-        logits = gsddmm(g, "add", er, el, mask_padding=False)  # (E, H)
+        logits = er_e + gather_dst(g, el)
         logits = nn.leaky_relu(logits, self.negative_slope)
         alpha = edge_softmax(g, logits)
         if self.attn_drop > 0.0:
             alpha = nn.Dropout(self.attn_drop, deterministic=deterministic)(alpha)
-        out = gspmm(g, "mul", "sum", x=z_src, e=alpha[..., None])  # (N_dst, H, D)
+        msg = z_e * alpha[..., None]  # (E, H, D); padded rows are exactly 0
+        out = gspmm(g, "copy_e", "sum", e=msg)  # scan reduction (N_dst, H, D)
 
         if self.residual:
             if x_dst.shape[-1] == H * D:

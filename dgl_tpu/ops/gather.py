@@ -19,13 +19,16 @@ gather.
 from __future__ import annotations
 
 import os
+from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..graph.graph import Graph
 
-__all__ = ["gather_dst", "gather_src"]
+__all__ = ["gather_dst", "gather_src", "gather_src_rows"]
 
 
 def _use_scan(g: Graph) -> bool:
@@ -40,6 +43,45 @@ def _use_scan(g: Graph) -> bool:
 def gather_src(g: Graph, x):
     """x[src[e]] — per-edge source gather (row-bound)."""
     return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_src_rows(g: Graph, x):
+    """Differentiable src gather whose backward is a SINGLE row-op.
+
+    Plain AD of a gather emits an unsorted scatter-add (worst TPU op);
+    this VJP permutes the edge cotangents into the reverse graph's order
+    (one row gather — gathers are per-row-bound so width is free) and
+    finishes with a sorted scan reduction. Share ONE gather_src_rows result
+    across every consumer of ``x[src]`` in a layer (e.g. GAT uses it for
+    both attention logits and the weighted aggregation) so the whole layer
+    pays exactly one row-op per direction.
+    """
+    return gather_src(g, x)
+
+
+def _gsr_fwd(g, x):
+    return gather_src(g, x), (g, x.shape, x.dtype)
+
+
+def _gsr_bwd(res, ge):
+    g, x_shape, x_dtype = res
+    rev = g.reverse
+    if rev is not None:
+        perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
+        ge_rev = jnp.take(ge, perm, axis=0)  # the single backward row-op
+        from .spmm import _seg_sum_by_dst
+
+        grad_x = _seg_sum_by_dst(rev, ge_rev)
+    else:
+        grad_x = jax.ops.segment_sum(ge, g.src, num_segments=g.num_src_nodes)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_x.astype(x_dtype)
+
+
+gather_src_rows.defvjp(_gsr_fwd, _gsr_bwd)
 
 
 def gather_dst(g: Graph, v):
