@@ -61,11 +61,11 @@ def gather_src_rows(g: Graph, x):
 
 
 def _gsr_fwd(g, x):
-    return gather_src(g, x), (g, x.shape, x.dtype)
+    return gather_src(g, x), (g,)
 
 
 def _gsr_bwd(res, ge):
-    g, x_shape, x_dtype = res
+    (g,) = res
     rev = g.reverse
     if rev is not None:
         perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
@@ -78,7 +78,7 @@ def _gsr_bwd(res, ge):
     grad_g = jax.tree_util.tree_map(
         lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
     )
-    return grad_g, grad_x.astype(x_dtype)
+    return grad_g, grad_x.astype(ge.dtype)
 
 
 gather_src_rows.defvjp(_gsr_fwd, _gsr_bwd)

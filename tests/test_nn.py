@@ -234,3 +234,23 @@ def test_sage_conv_bipartite_block(rng):
     params = conv.init(jax.random.PRNGKey(0), g, (x, x[:n_dst]))
     out = conv.apply(params, g, (x, x[:n_dst]))
     assert out.shape == (n_dst, 4)
+
+
+def test_gat_training_grads(rng):
+    """Regression: GATConv must be differentiable end-to-end (the custom
+    gather VJP once carried a non-pytree residual that broke jax.grad)."""
+    n, e, d, c = 20, 80, 6, 3
+    g, _, _ = _graph(rng, n, e)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n))
+    model = GAT(hidden_feats=4, out_feats=c, heads=(2, 1))
+    params = model.init(jax.random.PRNGKey(0), g, x)["params"]
+
+    def loss(p):
+        lg = model.apply({"params": p}, g, x)
+        return -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(lg), y[:, None], 1))
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
