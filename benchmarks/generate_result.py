@@ -64,6 +64,15 @@ WORKLOADS = [
       "full": ["--dataset", "ogbg-molhiv"]}),
 ]
 
+# published V100 epoch seconds (BASELINE.md) for the comparison column
+BASELINE_EPOCH_S = {
+    "cora_sage": 0.0039, "pubmed_sage": 0.0046, "reddit_sage": 0.3627,
+    "arxiv_sage": 0.0943, "products_sage": 0.3436,
+    "cora_gat": 0.012, "pubmed_gat": 0.0136, "reddit_gat": 0.5532,
+    "arxiv_gat": 0.0798,
+    "enzymes_gcn": 0.092, "molhiv_gcn": 15.089,
+}
+
 TIME_RE = re.compile(r"Training time/(?:epoch|iter) ([0-9.eE+-]+)")
 FINAL_TEST_RE = re.compile(r"\s*Final Test: ([0-9.]+)")
 FINAL_TRAIN_RE = re.compile(r"\s*Final Train: ([0-9.]+)")
@@ -125,6 +134,9 @@ def main():
             res = run_one(script, suites[args.suite], args.timeout)
         res["workload"] = name
         res["wall_s"] = round(time.time() - t0, 1)
+        base = BASELINE_EPOCH_S.get(name)
+        t = res.get("time_per_epoch")
+        res["vs_dgl_v100"] = round(base / t, 2) if (base and t) else None
         rows.append(res)
         print(f"   -> {res.get('status')} time/epoch={res.get('time_per_epoch')} "
               f"test={res.get('final_test')}", flush=True)
@@ -132,7 +144,8 @@ def main():
     import pandas as pd
 
     df = pd.DataFrame(rows)[
-        ["workload", "status", "time_per_epoch", "final_train", "final_test", "wall_s"]
+        ["workload", "status", "time_per_epoch", "vs_dgl_v100",
+         "final_train", "final_test", "wall_s"]
     ]
     os.makedirs(args.out, exist_ok=True)
     df.to_csv(os.path.join(args.out, "results.csv"), index=False)
