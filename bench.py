@@ -46,20 +46,11 @@ def main():
     # contention. Gate the measurement on a known-cost reference op (4k bf16
     # matmul ≈ 1ms healthy) and wait bounded time for a usable window; then
     # proceed regardless (min-of-epochs still damps residual noise).
-    def _chip_health_ms():
-        a = jnp.ones((4096, 4096), jnp.bfloat16)
-        mm = jax.jit(lambda a, c: jnp.sum((a + c) @ a) * 1e-30 + c)
-        c = mm(a, jnp.bfloat16(0))
-        jax.block_until_ready(c)
-        t0 = time.time()
-        for _ in range(5):
-            c = mm(a, c)
-        float(jnp.asarray(c, jnp.float32))
-        return (time.time() - t0) / 5 * 1000
+    from dgl_tpu.train import chip_health_ms
 
     if jax.default_backend() == "tpu":
         for attempt in range(10):
-            h = _chip_health_ms()
+            h = chip_health_ms()
             print(f"# chip health: 4k matmul {h:.1f} ms (healthy ~1ms)", file=sys.stderr)
             if h < 10.0:
                 break

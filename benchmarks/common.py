@@ -8,11 +8,8 @@ loop, Logger statistics at the end.
 
 from __future__ import annotations
 
-import argparse
 import os
 import sys
-import time
-from typing import Callable, Optional
 
 import numpy as np
 

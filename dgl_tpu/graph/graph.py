@@ -30,7 +30,6 @@ Design (TPU-first, not a port):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import numpy as np

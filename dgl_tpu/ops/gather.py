@@ -18,7 +18,6 @@ gather.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -27,17 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.graph import Graph
+from .segment import use_scan_reductions
 
 __all__ = ["gather_dst", "gather_src", "gather_src_rows"]
-
-
-def _use_scan(g: Graph) -> bool:
-    mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
-    if mode == "cumsum":
-        return True
-    if mode == "scatter":
-        return False
-    return jax.default_backend() == "tpu" and g.num_edges_padded >= (1 << 16)
 
 
 def gather_src(g: Graph, x):
@@ -87,7 +78,7 @@ gather_src_rows.defvjp(_gsr_fwd, _gsr_bwd)
 def gather_dst(g: Graph, v):
     """v[dst[e]] for valid edges (padding tail carries the last value —
     callers must treat padded rows as garbage, as with every edge op)."""
-    if not _use_scan(g):
+    if not use_scan_reductions(g.num_edges_padded):
         return jnp.take(v, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
     e_pad = g.num_edges_padded
     diffs = jnp.concatenate([v[:1], v[1:] - v[:-1]], axis=0)  # (N, ...)

@@ -22,13 +22,9 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..graph.graph import Graph
-from .gather import gather_dst
+from .gather import gather_dst, gather_src
 
 __all__ = ["gsddmm", "u_dot_v", "u_mul_v"]
-
-
-def _gather(ids, n, x):
-    return jnp.take(x, jnp.minimum(ids, n - 1), axis=0)
 
 
 def gsddmm(
@@ -49,11 +45,11 @@ def gsddmm(
     Returns: (E_pad, ...) edge values, canonical order.
     """
     if op in ("copy_u", "copy_lhs"):
-        out = _gather(g.src, g.num_src_nodes, u)
+        out = gather_src(g, u)
     elif op in ("copy_v", "copy_rhs"):
         out = gather_dst(g, v)
     else:
-        ue = _gather(g.src, g.num_src_nodes, u)
+        ue = gather_src(g, u)
         ve = gather_dst(g, v)
         if op == "add":
             out = ue + ve

@@ -10,12 +10,15 @@ segment id". These wrappers centralise the conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "use_scan_reductions",
+    "segment_sum_sorted_scan",
     "segment_sum",
     "segment_mean",
     "segment_max",
@@ -23,6 +26,27 @@ __all__ = [
     "segment_softmax_denom",
     "segment_count",
 ]
+
+
+def use_scan_reductions(e_pad: int) -> bool:
+    """Single gate for the scan-based (cumsum) formulations of sorted edge
+    reductions/spreads: scatter-add and row gather are slow on TPU, prefix
+    scans are not. Env ``DGL_TPU_SEGSUM`` = cumsum | scatter | auto."""
+    mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
+    if mode == "cumsum":
+        return True
+    if mode == "scatter":
+        return False
+    return jax.default_backend() == "tpu" and e_pad >= (1 << 16)
+
+
+def segment_sum_sorted_scan(msg, indptr):
+    """Sorted segment sum over edges via prefix-scan + indptr-diff
+    ((E_pad, ...) → (N, ...)); ~2× faster than scatter-add on TPU."""
+    z = jnp.cumsum(msg, axis=0, dtype=msg.dtype)
+    z = jnp.concatenate([jnp.zeros((1,) + msg.shape[1:], msg.dtype), z], axis=0)
+    ends = jnp.take(z, indptr, axis=0)
+    return ends[1:] - ends[:-1]
 
 
 def segment_sum(data, segment_ids, num_segments: int, *, sorted: bool = False):

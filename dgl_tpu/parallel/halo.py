@@ -122,10 +122,9 @@ def halo_spmm(
         indptr_l = indptr_s[0]
         x_full = jax.lax.all_gather(x_s, axis, tiled=True)  # halo exchange
         msg = jnp.take(x_full, jnp.minimum(src_l, sg.num_nodes - 1), axis=0)
-        z = jnp.cumsum(msg, axis=0, dtype=msg.dtype)
-        z = jnp.concatenate([jnp.zeros((1,) + msg.shape[1:], msg.dtype), z], axis=0)
-        ends = jnp.take(z, indptr_l, axis=0)
-        out = ends[1:] - ends[:-1]
+        from ..ops.segment import segment_sum_sorted_scan
+
+        out = segment_sum_sorted_scan(msg, indptr_l)
         if reduce == "mean":
             deg = jnp.maximum(indptr_l[1:] - indptr_l[:-1], 1).astype(out.dtype)
             out = out / deg[:, None]

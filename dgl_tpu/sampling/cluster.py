@@ -22,9 +22,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..graph.graph import Graph, from_edges, pad_length
+from ..graph.graph import Graph, from_edges
 from ..graph.partition import get_partition_list, partition_assignment
-from ..graph.transforms import node_subgraph
 from .dataloader import prefetch
 
 __all__ = ["ClusterIter", "ClusterBatch"]

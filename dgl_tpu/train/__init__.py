@@ -1,5 +1,5 @@
 from .logger import Logger, MetricLogger
-from .timing import EpochTimer, PhaseTimer, op_time, time_fn
+from .timing import EpochTimer, PhaseTimer, op_time, time_fn, chip_health_ms
 from .checkpoint import CheckpointManager
 
 __all__ = [
@@ -9,5 +9,6 @@ __all__ = [
     "PhaseTimer",
     "op_time",
     "time_fn",
+    "chip_health_ms",
     "CheckpointManager",
 ]

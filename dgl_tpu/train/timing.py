@@ -20,7 +20,24 @@ from typing import Dict, List
 
 import jax
 
-__all__ = ["EpochTimer", "PhaseTimer", "op_time", "time_fn"]
+__all__ = ["EpochTimer", "PhaseTimer", "op_time", "time_fn", "chip_health_ms"]
+
+
+def chip_health_ms(reps: int = 5) -> float:
+    """Known-cost reference op (4k bf16 matmul ≈ 1ms on a healthy v5e) —
+    the shared TPU pool behind this environment's tunnel degrades up to
+    ~100× under contention, so benchmarks gate on this probe."""
+    import jax.numpy as jnp
+
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda a, c: jnp.sum((a + c) @ a) * 1e-30 + c)
+    c = mm(a, jnp.bfloat16(0))
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = mm(a, c)
+    float(jnp.asarray(c, jnp.float32))
+    return (time.perf_counter() - t0) / reps * 1000
 
 
 class EpochTimer:

@@ -33,16 +33,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    def chip_health_ms():
-        a = jnp.ones((4096, 4096), jnp.bfloat16)
-        mm = jax.jit(lambda a, c: jnp.sum((a + c) @ a) * 1e-30 + c)
-        c = mm(a, jnp.bfloat16(0))
-        jax.block_until_ready(c)
-        t0 = time.time()
-        for _ in range(5):
-            c = mm(a, c)
-        float(jnp.asarray(c, jnp.float32))
-        return (time.time() - t0) / 5 * 1000
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
+    from dgl_tpu.train import chip_health_ms
 
     deadline = time.time() + args.health_timeout_min * 60
     while True:
