@@ -112,6 +112,13 @@ def main():
         m[nid] = True
         return float(masked_accuracy(logits, y, jnp.asarray(m)))
 
+    def device_mem_mib():
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return stats.get("bytes_in_use", 0) / 1e6
+        except Exception:
+            return 0.0
+
     key = jax.random.PRNGKey(args.seed)
     avg = 0.0
     iter_tput = []
@@ -128,9 +135,9 @@ def main():
             if step % args.log_every == 0:
                 print(
                     "Epoch {:05d} | Step {:05d} | Loss {:.4f} | Train Acc {:.4f} | "
-                    "Speed (samples/sec) {:.4f} | GPU 0.0 MiB".format(
+                    "Speed (samples/sec) {:.4f} | GPU {:.1f} MiB".format(
                         epoch, step, loss, float(acc), float(np.mean(iter_tput[3:]))
-                        if len(iter_tput) > 3 else 0.0,
+                        if len(iter_tput) > 3 else 0.0, device_mem_mib(),
                     )
                 )
             tic_step = time.time()

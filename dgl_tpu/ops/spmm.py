@@ -287,6 +287,26 @@ def gspmm(
     if _lane_eligible(g, x, op, reduce):
         # fused Pallas lane kernel (see kernels/lane_spmm.py)
         return _lane_copy_u(reduce, g, x)
+    if (
+        op in ("copy_u", "copy_lhs")
+        and reduce in ("sum", "mean")
+        and x is not None
+        and x.ndim == 2
+    ):
+        # copy_u is column-independent, so bound the (E_pad, D) message/scan
+        # intermediate by chunking features (ogbn-products at hidden 64 would
+        # otherwise materialize 16GB and OOM the 16GB chip — the fused-kernel
+        # memory property DGL gets natively, recovered by blocking).
+        budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "2")) * (1 << 30)
+        d = x.shape[1]
+        bytes_full = g.num_edges_padded * d * x.dtype.itemsize
+        if bytes_full > budget and d > 1:
+            chunk = max(1, int(d * budget / bytes_full))
+            outs = [
+                _spmm_xe(op, reduce, g, x[:, lo : lo + chunk], jnp.zeros((), x.dtype))
+                for lo in range(0, d, chunk)
+            ]
+            return jnp.concatenate(outs, axis=1)
     if needs_x and needs_e and reduce in ("sum", "mean"):
         return _spmm_xe(op, reduce, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):

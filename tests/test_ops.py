@@ -231,3 +231,21 @@ def test_edge_softmax_scan_path_matches(rng, monkeypatch):
     a_scan = np.asarray(edge_softmax(g, logits))
     np.testing.assert_allclose(a_scan[: g.num_edges], a_ref[: g.num_edges],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_feature_chunking_matches(rng, monkeypatch):
+    """Column-chunked copy_u SpMM (memory bounding) must match unchunked,
+    values and grads."""
+    n, n_e, d = 40, 300, 12
+    src = rng.integers(0, n, n_e)
+    dst = rng.integers(0, n, n_e)
+    g = from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ref = np.asarray(gspmm(g, "copy_u", "mean", x=x))
+    ref_g = np.asarray(jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", "mean", x=x) ** 2))(x))
+    # force chunking: budget smaller than E_pad * d * 4
+    monkeypatch.setenv("DGL_TPU_MSG_BUDGET_GB", str(g.num_edges_padded * 4 * 4 / (1 << 30)))
+    out = np.asarray(gspmm(g, "copy_u", "mean", x=x))
+    gr = np.asarray(jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", "mean", x=x) ** 2))(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gr, ref_g, rtol=1e-5, atol=1e-6)
