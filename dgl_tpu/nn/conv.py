@@ -14,7 +14,7 @@ passing ``x=(x_src, x_dst)`` exactly like the reference's tuple convention
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -113,9 +113,13 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
     residual: bool = False
     activation: Optional[Callable] = None
+    # dtype of the gathered per-edge feature tensor z_e. TPU lane-padding
+    # inflates (E, D<128) tensors 128/D-fold physically, so bf16 halves the
+    # dominant buffer; logits/softmax/aggregation stay f32 via promotion.
+    edge_dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, g: Graph, x: Features, *, deterministic: bool = True):
+    def __call__(self, g: Graph, x: Features, deterministic: bool = True):
         x_src, x_dst = _pair(x)
         if self.feat_drop > 0.0:
             drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
@@ -134,16 +138,21 @@ class GATConv(nn.Module):
         # from the SAME gathered rows used for aggregation — one row-op
         # forward, one backward via gather_src_rows' custom VJP; all other
         # edge-wise spreads/reductions are scan-based).
-        z_e = gather_src_rows(g, z_src.reshape(-1, H * D)).reshape(-1, H, D)
-        er_e = jnp.sum(z_e * att_r, axis=-1)  # (E, H)
+        z_flat = z_src.reshape(-1, H * D)
+        if self.edge_dtype is not None:
+            z_flat = z_flat.astype(self.edge_dtype)
+        z_e = gather_src_rows(g, z_flat).reshape(-1, H, D)
+        er_e = jnp.sum(z_e * att_r, axis=-1)  # (E, H) f32 via promotion
         el = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
         logits = er_e + gather_dst(g, el)
         logits = nn.leaky_relu(logits, self.negative_slope)
         alpha = edge_softmax(g, logits)
         if self.attn_drop > 0.0:
             alpha = nn.Dropout(self.attn_drop, deterministic=deterministic)(alpha)
+        if self.edge_dtype is not None:
+            alpha = alpha.astype(self.edge_dtype)
         msg = z_e * alpha[..., None]  # (E, H, D); padded rows are exactly 0
-        out = gspmm(g, "copy_e", "sum", e=msg)  # scan reduction (N_dst, H, D)
+        out = gspmm(g, "copy_e", "sum", e=msg)  # sorted reduction (N_dst, H, D)
 
         if self.residual:
             if x_dst.shape[-1] == H * D:

@@ -79,7 +79,14 @@ def _seg_sum_by_dst(g: Graph, msg):
     """Sum messages (canonical order) by destination; (E_pad,...) → (N_dst,...).
     Scan formulation on TPU (measured 19ms vs 44ms scatter at reddit (E,16));
     scan reassociation costs ~1e-5 relative error, so exact scatter stays the
-    CPU/test default."""
+    CPU/test default. bf16 messages take the sorted-scatter path with an
+    f32 accumulator (a bf16 prefix scan would lose precision, and the f32
+    convert fuses into the scatter without materializing an f32 (E, D)
+    buffer — that buffer is what OOMs reddit GAT)."""
+    if msg.dtype == jnp.bfloat16:
+        return segment_sum(
+            msg.astype(jnp.float32), g.dst, g.num_dst_nodes, sorted=True
+        )
     if use_scan_reductions(g.num_edges_padded):
         return segment_sum_sorted_scan(msg, g.indptr)
     return segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
