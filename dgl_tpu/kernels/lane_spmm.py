@@ -196,10 +196,19 @@ def _kernel(group_ref, first_ref, bucket_ref, srclo_ref, dstlo_ref, x_ref, o_ref
         start = pl.multiple_of(b * SB, SB)
         xb = x_ref[:, pl.ds(start, SB)]  # (D, 128)
         slo = srclo_ref[0, r, :]  # (128,)
-        # Mosaic dynamic_gather needs index bitwidth == data bitwidth
-        idx_dtype = jnp.int16 if xb.dtype.itemsize == 2 else jnp.int32
-        idx = jnp.broadcast_to(slo.astype(idx_dtype)[None, :], (d_feat, SB))
-        msg = jnp.take_along_axis(xb, idx, axis=1)  # lane gather (D, 128)
+        if xb.dtype.itemsize == 2:
+            # Mosaic's lane gather requires index bitwidth == data bitwidth
+            # and take_along_axis always upcasts indices to i32 — so view
+            # bf16 sublane PAIRS as f32, gather whole columns (a column is
+            # one node's features, so intra-column bit packing is
+            # invisible), and view back.
+            xb32 = pltpu.bitcast(xb, jnp.float32)  # (D//2, 128)
+            idx = jnp.broadcast_to(slo[None, :], (d_feat // 2, SB))
+            g32 = jnp.take_along_axis(xb32, idx, axis=1)
+            msg = pltpu.bitcast(g32, xb.dtype)  # (D, 128)
+        else:
+            idx = jnp.broadcast_to(slo[None, :], (d_feat, SB))
+            msg = jnp.take_along_axis(xb, idx, axis=1)  # lane gather (D, 128)
         dlo = dstlo_ref[0, r, :]  # (128,) values in [0, JG]
         cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
         oh = (dlo[:, None] == cols).astype(msg.dtype)  # (128, JG)
@@ -227,9 +236,10 @@ def lane_spmm(
     d = x.shape[1]
     if d > 32:
         raise ValueError(f"lane_spmm v1 supports D<=32, got {d}")
+    d_k = d + (d % 2)  # even rows: bf16 gather views sublane pairs as f32
     xt = (
-        jnp.zeros((d, plan.n_src_pad), compute_dtype)
-        .at[:, : x.shape[0]]
+        jnp.zeros((d_k, plan.n_src_pad), compute_dtype)
+        .at[:d, : x.shape[0]]
         .set(x.T.astype(compute_dtype))
     )
 
@@ -248,16 +258,16 @@ def lane_spmm(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x_t full
         ],
         out_specs=pl.BlockSpec(
-            (1, d, JG), lambda t, g_, f_: (g_[t], 0, 0), memory_space=pltpu.VMEM
+            (1, d_k, JG), lambda t, g_, f_: (g_[t], 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((plan.num_groups, d, JG), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.num_groups, d_k, JG), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(plan.group, plan.first, plan.bucket, plan.src_lo, plan.dst_lo, xt)
-    out = out.transpose(0, 2, 1).reshape(plan.n_dst_pad, d)
+    out = out.transpose(0, 2, 1).reshape(plan.n_dst_pad, d_k)[:, :d]
     if in_degrees is not None:
         deg = jnp.maximum(in_degrees, 1).astype(out.dtype)
         out = out.at[: deg.shape[0]].set(out[: deg.shape[0]] / deg[:, None])
