@@ -304,16 +304,24 @@ def gspmm(
         # intermediate by chunking features (ogbn-products at hidden 64 would
         # otherwise materialize 16GB and OOM the 16GB chip — the fused-kernel
         # memory property DGL gets natively, recovered by blocking).
-        budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "2")) * (1 << 30)
+        budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "4")) * (1 << 30)
         d = x.shape[1]
         bytes_full = g.num_edges_padded * d * x.dtype.itemsize
         if bytes_full > budget and d > 1:
             chunk = max(1, int(d * budget / bytes_full))
-            outs = [
-                _spmm_xe(op, reduce, g, x[:, lo : lo + chunk], jnp.zeros((), x.dtype))
-                for lo in range(0, d, chunk)
-            ]
-            return jnp.concatenate(outs, axis=1)
+            n_chunks = -(-d // chunk)
+            d_pad = n_chunks * chunk
+            xp = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+            # (n_chunks, N, chunk) — lax.map executes chunks SEQUENTIALLY, so
+            # only one (E, chunk) intermediate is live at a time (a plain
+            # unrolled loop lets XLA schedule all chunks concurrently and
+            # OOMs exactly like the unchunked op)
+            xstack = jnp.moveaxis(xp.reshape(x.shape[0], n_chunks, chunk), 1, 0)
+            zero_e = jnp.zeros((), x.dtype)
+            outs = jax.lax.map(
+                lambda xc: _spmm_xe(op, reduce, g, xc, zero_e), xstack
+            )
+            return jnp.moveaxis(outs, 0, 1).reshape(g.num_dst_nodes, d_pad)[:, :d]
     if needs_x and needs_e and reduce in ("sum", "mean"):
         return _spmm_xe(op, reduce, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):
