@@ -31,7 +31,15 @@ __all__ = [
 def use_scan_reductions(e_pad: int) -> bool:
     """Single gate for the scan-based (cumsum) formulations of sorted edge
     reductions/spreads: scatter-add and row gather are slow on TPU, prefix
-    scans are not. Env ``DGL_TPU_SEGSUM`` = cumsum | scatter | auto."""
+    scans are not. Env ``DGL_TPU_SEGSUM`` = cumsum | scatter | auto.
+
+    Numerics: prefix-difference reconstruction carries error proportional to
+    ulp(prefix magnitude) — measured at reddit scale: ~7e-5 mean relative on
+    zero-mean data, ~4e-3 mean (7e-2 max) on all-positive data. That is
+    training-grade noise but not exactness-grade; set
+    ``DGL_TPU_SEGSUM=scatter`` for bitwise-faithful reductions (one-time
+    precomputes do this automatically). A block-local-scan + small-scatter
+    formulation with scatter-grade error is the planned fix (ROADMAP)."""
     mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
     if mode == "cumsum":
         return True

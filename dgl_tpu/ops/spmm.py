@@ -347,16 +347,28 @@ def gspmm(
 def gspmm_chunked(
     g: Graph, op: str, reduce: str, x: jnp.ndarray, chunk: int = 64
 ) -> jnp.ndarray:
-    """SpMM over wide features, chunked along the feature dim.
+    """SpMM over wide features, chunked along the feature dim (host loop).
 
     The fused spmm materializes an (E_pad, D) message tensor; for wide inputs
     (e.g. the one-time layer-1 precompute on reddit: 11.6M × 602 × 4B = 28GB)
     that exceeds HBM. Chunking bounds the intermediate at E_pad × chunk.
+
+    Used for one-time precomputes, so it forces the exact scatter reduction
+    (the scan path trades ~4e-3 mean relative error on positive data for
+    speed — fine per-step, not for a cached constant).
     """
     outs = []
     f = jax.jit(lambda g, xc: gspmm(g, op, reduce, x=xc), static_argnames=())
-    for lo in range(0, x.shape[-1], chunk):
-        outs.append(f(g, x[:, lo : lo + chunk]))
+    prev = os.environ.get("DGL_TPU_SEGSUM")
+    os.environ["DGL_TPU_SEGSUM"] = "scatter"
+    try:
+        for lo in range(0, x.shape[-1], chunk):
+            outs.append(f(g, x[:, lo : lo + chunk]))
+    finally:
+        if prev is None:
+            os.environ.pop("DGL_TPU_SEGSUM", None)
+        else:
+            os.environ["DGL_TPU_SEGSUM"] = prev
     return jnp.concatenate(outs, axis=-1)
 
 
