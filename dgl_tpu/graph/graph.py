@@ -100,18 +100,26 @@ class Graph:
     # when present (and the op/shape qualifies) gspmm dispatches to the
     # fused lane kernel instead of the XLA gather path.
     lane: Optional[Any] = None
+    # Piece arrays for the blocked segment sum (seg_id, idx_end, idx_sub):
+    # per (segment × 128-edge-block) piece, gather indices into the
+    # block-local prefix array. Gives scatter-grade accuracy at near-scan
+    # speed (see ops/segment.py:segment_sum_blocked). Built by from_edges.
+    segblocks: Optional[Tuple] = None
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        leaves = (self.src, self.dst, self.indptr, self.eid, self.reverse, self.lane)
+        leaves = (
+            self.src, self.dst, self.indptr, self.eid, self.reverse,
+            self.lane, self.segblocks,
+        )
         aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges, self.block_fanout)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, indptr, eid, reverse, lane = leaves
+        src, dst, indptr, eid, reverse, lane, segblocks = leaves
         n_src, n_dst, n_e, bf = aux
-        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf, lane)
+        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf, lane, segblocks)
 
     # -- basic properties --------------------------------------------------
     @property
@@ -173,6 +181,43 @@ class Graph:
             f"Graph(num_src={self.num_src_nodes}, num_dst={self.num_dst_nodes}, "
             f"num_edges={self.num_edges}, padded={self.num_edges_padded})"
         )
+
+
+SEG_BLOCK = 128  # block length of the blocked segment sum
+
+
+def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Piece arrays for the blocked segment sum: each piece is the part of a
+    segment inside one 128-edge block; its sum is a difference of
+    block-LOCAL prefix values (bounded magnitudes → scatter-grade accuracy).
+
+    Returns (seg_id, idx_end, idx_sub) padded to a lane multiple; sentinel
+    indices equal e_pad (gathers an appended zero row) and sentinel seg_id
+    equals num_segments (dropped by the scatter).
+    """
+    B = SEG_BLOCK
+    n = len(indptr64) - 1
+    s = indptr64[:-1].astype(np.int64)
+    e = indptr64[1:].astype(np.int64)
+    nb = np.where(e > s, (e - 1) // B - s // B + 1, 0)
+    total = int(nb.sum())
+    p_pad = pad_length(max(total, 1))
+    seg_id = np.full(p_pad, n, dtype=np.int32)
+    idx_end = np.full(p_pad, e_pad, dtype=np.int32)
+    idx_sub = np.full(p_pad, e_pad, dtype=np.int32)
+    if total:
+        seg = np.repeat(np.arange(n), nb)
+        offs = np.concatenate([[0], np.cumsum(nb)])[:-1]
+        kk = np.arange(total) - np.repeat(offs, nb)
+        k = np.repeat(s // B, nb) + kk
+        end = np.minimum(np.repeat(e, nb), (k + 1) * B)
+        s_rep = np.repeat(s, nb)
+        first = kk == 0
+        sub_needed = first & (s_rep % B != 0)
+        seg_id[:total] = seg
+        idx_end[:total] = end - 1
+        idx_sub[:total] = np.where(sub_needed, s_rep - 1, e_pad)
+    return seg_id, idx_end, idx_sub
 
 
 def _build_sorted(
@@ -239,6 +284,7 @@ def from_edges(
         raise ValueError(f"e_pad={e_pad} < num_edges={num_e}")
 
     s, d, indptr, e = _build_sorted(src, dst, num_src_nodes, num_dst_nodes, e_pad)
+    segb = tuple(jnp.asarray(a) for a in _build_seg_blocks(indptr.astype(np.int64), e_pad))
     rev = None
     if build_reverse:
         # Build the transpose from the *canonical* arrays so that rev.eid maps
@@ -247,6 +293,9 @@ def from_edges(
         # src-sorted order and use a sorted segment reduction.
         rs, rd, rindptr, re = _build_sorted(
             d[:num_e], s[:num_e], num_dst_nodes, num_src_nodes, e_pad
+        )
+        rev_segb = tuple(
+            jnp.asarray(a) for a in _build_seg_blocks(rindptr.astype(np.int64), e_pad)
         )
         rev = Graph(
             src=jnp.asarray(rs),
@@ -257,6 +306,7 @@ def from_edges(
             num_dst_nodes=num_src_nodes,
             num_edges=num_e,
             reverse=None,
+            segblocks=rev_segb,
         )
     return Graph(
         src=jnp.asarray(s),
@@ -267,6 +317,7 @@ def from_edges(
         num_dst_nodes=num_dst_nodes,
         num_edges=num_e,
         reverse=rev,
+        segblocks=segb,
     )
 
 

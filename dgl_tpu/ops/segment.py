@@ -19,6 +19,7 @@ import jax.numpy as jnp
 __all__ = [
     "use_scan_reductions",
     "segment_sum_sorted_scan",
+    "segment_sum_blocked",
     "segment_sum",
     "segment_mean",
     "segment_max",
@@ -55,6 +56,29 @@ def segment_sum_sorted_scan(msg, indptr):
     z = jnp.concatenate([jnp.zeros((1,) + msg.shape[1:], msg.dtype), z], axis=0)
     ends = jnp.take(z, indptr, axis=0)
     return ends[1:] - ends[:-1]
+
+
+def segment_sum_blocked(msg, segblocks, num_segments: int):
+    """Sorted segment sum with scatter-grade accuracy at near-scan speed.
+
+    Block-LOCAL inclusive prefixes (magnitudes bounded by 128-edge block
+    content, so no prefix-magnitude ulp growth) are combined per
+    (segment × block) piece and scatter-added over the small piece set
+    (≈ N + E/128 items instead of E).
+    """
+    seg_id, idx_end, idx_sub = segblocks
+    e_pad = msg.shape[0]
+    from ..graph.graph import SEG_BLOCK
+
+    local = jnp.cumsum(
+        msg.reshape((e_pad // SEG_BLOCK, SEG_BLOCK) + msg.shape[1:]), axis=1,
+        dtype=msg.dtype,
+    ).reshape(msg.shape)
+    ext = jnp.concatenate([local, jnp.zeros((1,) + msg.shape[1:], msg.dtype)], axis=0)
+    pieces = jnp.take(ext, idx_end, axis=0) - jnp.take(ext, idx_sub, axis=0)
+    return jax.ops.segment_sum(
+        pieces, seg_id, num_segments=num_segments, indices_are_sorted=True
+    )
 
 
 def segment_sum(data, segment_ids, num_segments: int, *, sorted: bool = False):

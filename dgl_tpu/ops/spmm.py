@@ -45,6 +45,7 @@ from .segment import (
     segment_mean,
     segment_min,
     segment_sum,
+    segment_sum_blocked,
     segment_sum_sorted_scan,
     use_scan_reductions,
 )
@@ -88,6 +89,9 @@ def _seg_sum_by_dst(g: Graph, msg):
             msg.astype(jnp.float32), g.dst, g.num_dst_nodes, sorted=True
         )
     if use_scan_reductions(g.num_edges_padded):
+        if g.segblocks is not None:
+            # blocked formulation: scan speed, scatter-grade accuracy
+            return segment_sum_blocked(msg, g.segblocks, g.num_dst_nodes)
         return segment_sum_sorted_scan(msg, g.indptr)
     return segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
 

@@ -65,29 +65,24 @@ def node_sharding(mesh: Mesh, axis: str = "graph") -> NamedSharding:
 
 
 def graph_sharding(g: Graph, mesh: Mesh, axis: str = "graph"):
-    """A sharding pytree for :class:`Graph`: edge arrays sharded on the edge
-    dim, indptr (node-aligned) sharded likewise, nested reverse graph too.
+    """A sharding pytree matching :class:`Graph`'s full structure: arrays
+    with the padded edge length shard on the edge dim, everything else
+    (indptr, piece tables, nested aux) replicates.
 
     Use with ``jax.device_put(g, graph_sharding(g, mesh))`` or as
     ``in_shardings`` for a jitted step. Requires the padded edge count to
     divide by the axis size (pad with ``from_edges(..., e_pad=...)``).
     """
     edge = NamedSharding(mesh, P(axis))
-    # indptr is (N+1,) — rarely divisible by the axis; it is small (int32 per
-    # node) and read-only, so replicate it.
-    node = NamedSharding(mesh, P())
+    rep = NamedSharding(mesh, P())
+    e_pad = g.num_edges_padded
 
-    def spec(graph: Graph):
-        rev = spec(graph.reverse) if graph.reverse is not None else None
-        return Graph(
-            src=edge, dst=edge, indptr=node, eid=edge,
-            num_src_nodes=graph.num_src_nodes,
-            num_dst_nodes=graph.num_dst_nodes,
-            num_edges=graph.num_edges,
-            reverse=rev,
-        )
-
-    return spec(g)
+    return jax.tree_util.tree_map(
+        lambda leaf: edge
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == e_pad)
+        else rep,
+        g,
+    )
 
 
 def shard_graph(g: Graph, mesh: Mesh, axis: str = "graph") -> Graph:

@@ -55,10 +55,7 @@ def put(arr, spec):
     sh = NamedSharding(mesh, spec)
     return make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 import jax.tree_util as jtu
-g_sh = jtu.tree_map(
-    lambda leaf, shard: put(np.asarray(leaf), shard.spec),
-    g, gs, is_leaf=lambda l: not isinstance(l, (dgl_tpu.Graph, type(None))),
-)
+g_sh = jtu.tree_map(lambda leaf, shard: put(np.asarray(leaf), shard.spec), g, gs)
 x = put(x_np, P("graph"))
 out = jax.jit(lambda g, x: gspmm(g, "copy_u", "mean", x=x),
               out_shardings=NamedSharding(mesh, P()))(g_sh, x)

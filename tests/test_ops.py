@@ -249,3 +249,28 @@ def test_spmm_feature_chunking_matches(rng, monkeypatch):
     gr = np.asarray(jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", "mean", x=x) ** 2))(x))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(gr, ref_g, rtol=1e-5, atol=1e-6)
+
+
+def test_segment_sum_blocked_accuracy(rng, monkeypatch):
+    """Blocked segment sum must match the exact scatter tightly even on
+    all-positive data where the plain scan drifts (prefix-magnitude ulp)."""
+    from dgl_tpu.ops.segment import segment_sum_blocked, segment_sum
+
+    n, n_e, d = 500, 60000, 4
+    src = rng.integers(0, n, n_e)
+    dst = rng.integers(0, n, n_e)
+    g = from_edges(src, dst, n)
+    assert g.segblocks is not None
+    msg = jnp.asarray(
+        np.abs(rng.standard_normal((g.num_edges_padded, d))).astype(np.float32)
+    ) * g.edge_mask()[:, None]
+    out = np.asarray(segment_sum_blocked(msg, g.segblocks, n))
+    ref = np.asarray(segment_sum(msg, g.dst, n, sorted=True))
+    np.testing.assert_allclose(out, ref, rtol=3e-6, atol=1e-5)
+    # and through the gspmm scan gate
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "cumsum")
+    x = jnp.asarray(np.abs(rng.standard_normal((n, d))).astype(np.float32))
+    a = np.asarray(gspmm(g, "copy_u", "sum", x=x))
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "scatter")
+    b = np.asarray(gspmm(g, "copy_u", "sum", x=x))
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-5)
