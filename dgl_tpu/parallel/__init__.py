@@ -5,7 +5,15 @@ from .spmd import (
     node_sharding,
     shard_graph,
 )
-from .halo import ShardedGraph, shard_fullgraph, halo_spmm, place
+from .halo import (
+    ShardedGraph,
+    shard_fullgraph,
+    halo_spmm,
+    place,
+    BoundarySharded,
+    shard_fullgraph_boundary,
+    halo_spmm_boundary,
+)
 from .dp import stack_minibatches, make_dp_train_step
 
 __all__ = [
@@ -18,6 +26,9 @@ __all__ = [
     "shard_fullgraph",
     "halo_spmm",
     "place",
+    "BoundarySharded",
+    "shard_fullgraph_boundary",
+    "halo_spmm_boundary",
     "stack_minibatches",
     "make_dp_train_step",
 ]

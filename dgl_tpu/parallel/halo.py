@@ -36,7 +36,14 @@ from jax.experimental.shard_map import shard_map
 
 from ..graph.graph import Graph, pad_length
 
-__all__ = ["ShardedGraph", "shard_fullgraph", "halo_spmm"]
+__all__ = [
+    "ShardedGraph",
+    "shard_fullgraph",
+    "halo_spmm",
+    "BoundarySharded",
+    "shard_fullgraph_boundary",
+    "halo_spmm_boundary",
+]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -137,3 +144,135 @@ def halo_spmm(
         out_specs=P(axis),
         check_rep=False,
     )(sg.src, sg.indptr, x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BoundarySharded:
+    """Boundary-exchange variant of :class:`ShardedGraph`.
+
+    Instead of all-gathering the full feature matrix, each device requests
+    exactly the source rows it needs: host-precomputed send tables drive an
+    ``all_to_all`` of (k, H, D) row blocks (H = max rows any pair
+    exchanges), and edge sources are pre-remapped into the received table.
+
+    src_remap: (k, E_sh) int32 — per-shard edge sources as indices into the
+               received row table (owner·H + slot); sentinel k·H-1 on pads.
+    indptr:    (k, nps+1) int32 — local dst offsets (as ShardedGraph).
+    send_tab:  (k, k, H) int32 — send_tab[o, s] = owner-local row indices o
+               ships to s (padding 0 → harmless duplicate rows).
+    """
+
+    src_remap: jnp.ndarray
+    indptr: jnp.ndarray
+    send_tab: jnp.ndarray
+    num_nodes: int
+    nodes_per_shard: int
+    num_shards: int
+    rows_per_pair: int
+
+    def tree_flatten(self):
+        return (self.src_remap, self.indptr, self.send_tab), (
+            self.num_nodes, self.nodes_per_shard, self.num_shards, self.rows_per_pair
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+def shard_fullgraph_boundary(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, num_shards: int
+) -> Tuple["BoundarySharded", int]:
+    """Host-side build of the boundary-exchange plan. Returns
+    (plan, n_pad); node arrays must be padded to n_pad rows."""
+    from ..csrc import native
+
+    k = num_shards
+    nps = pad_length(-(-num_nodes // k), 8)
+    n_pad = nps * k
+    shard_of = dst // nps
+
+    per_src = []
+    per_indptr = []
+    needed = []  # list of (k,) lists of owner-local requested rows
+    for s_i in range(k):
+        m = shard_of == s_i
+        d_local = dst[m] - s_i * nps
+        indptr, src_sorted, _ = native.build_csr(
+            np.asarray(d_local, np.int64), np.asarray(src[m], np.int64), nps
+        )
+        per_src.append(src_sorted)
+        per_indptr.append(indptr)
+        uniq = np.unique(src_sorted) if len(src_sorted) else np.zeros(0, np.int64)
+        owners = uniq // nps
+        needed.append([uniq[owners == o] - o * nps for o in range(k)])
+
+    H = max(
+        (len(lst) for req in needed for lst in req), default=1
+    )
+    H = max(H, 1)
+    e_pad = pad_length(max((len(s) for s in per_src), default=1))
+
+    send_tab = np.zeros((k, k, H), dtype=np.int32)
+    src_remap = np.full((k, e_pad), k * H - 1, dtype=np.int32)
+    indptr_s = np.zeros((k, nps + 1), dtype=np.int32)
+    lookup = np.zeros(num_nodes + nps * k, dtype=np.int64)
+    for s_i in range(k):
+        for o in range(k):
+            rows = needed[s_i][o]
+            send_tab[o, s_i, : len(rows)] = rows
+            lookup[o * nps + rows] = o * H + np.arange(len(rows))
+        sl = per_src[s_i]
+        src_remap[s_i, : len(sl)] = lookup[sl]
+        indptr_s[s_i] = per_indptr[s_i]
+    return (
+        BoundarySharded(
+            src_remap=jnp.asarray(src_remap),
+            indptr=jnp.asarray(indptr_s),
+            send_tab=jnp.asarray(send_tab),
+            num_nodes=num_nodes,
+            nodes_per_shard=nps,
+            num_shards=k,
+            rows_per_pair=H,
+        ),
+        n_pad,
+    )
+
+
+def halo_spmm_boundary(
+    bs: "BoundarySharded",
+    x: jnp.ndarray,  # (n_pad, D) row-sharded P(axis)
+    mesh: Mesh,
+    axis: str = "graph",
+    reduce: str = "mean",
+) -> jnp.ndarray:
+    """copy_u SpMM exchanging ONLY the requested boundary rows (all_to_all);
+    communication volume is k·H·D per device instead of the full matrix."""
+    H = bs.rows_per_pair
+
+    def local(remap_s, indptr_s, send_s, x_s):
+        remap_l = remap_s[0]
+        indptr_l = indptr_s[0]
+        send_l = send_s[0]  # (k, H) rows this device ships per destination
+        payload = jnp.take(x_s, send_l.reshape(-1), axis=0).reshape(
+            bs.num_shards, H, x_s.shape[1]
+        )
+        recv = jax.lax.all_to_all(payload, axis, split_axis=0, concat_axis=0, tiled=False)
+        table = recv.reshape(bs.num_shards * H, x_s.shape[1])
+        msg = jnp.take(table, remap_l, axis=0)
+        from ..ops.segment import segment_sum_sorted_scan
+
+        out = segment_sum_sorted_scan(msg, indptr_l)
+        if reduce == "mean":
+            deg = jnp.maximum(indptr_l[1:] - indptr_l[:-1], 1).astype(out.dtype)
+            out = out / deg[:, None]
+        return out
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(bs.src_remap, bs.indptr, bs.send_tab, x)

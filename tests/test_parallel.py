@@ -150,3 +150,35 @@ def test_dp_minibatch_training(rng):
     ref_params = optax.apply_updates(params, tx.update(mean_grads, tx.init(params), params)[0])
     for a, b in zip(jax.tree_util.tree_leaves(new_params), jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_boundary_halo_matches_allgather_halo(rng):
+    """Boundary-only all_to_all exchange must equal the all-gather halo and
+    the single-device SpMM; exchange volume must actually shrink."""
+    from dgl_tpu.parallel import (
+        halo_spmm, halo_spmm_boundary, place, shard_fullgraph,
+        shard_fullgraph_boundary,
+    )
+    from dgl_tpu.ops import gspmm
+
+    n, e, d = 400, 3000, 8
+    # locality-ish graph so boundaries are smaller than everything
+    src = np.clip(rng.integers(0, n, e) + rng.integers(-40, 40, e), 0, n - 1)
+    dst = rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ref = np.asarray(gspmm(g, "copy_u", "mean", x=jnp.asarray(x)))
+
+    mesh = device_mesh((1, 8), ("data", "graph"))
+    bs, n_pad = shard_fullgraph_boundary(src, dst, n, 8)
+    assert bs.rows_per_pair < bs.nodes_per_shard * 8  # smaller than full gather
+    sh = NamedSharding(mesh, P("graph"))
+    bs_sh = jax.device_put(bs, jax.tree_util.tree_map(lambda _: sh, bs))
+    x_pad = np.zeros((n_pad, d), np.float32)
+    x_pad[:n] = x
+    x_sh = jax.device_put(jnp.asarray(x_pad), sh)
+    out = jax.jit(lambda b, x: halo_spmm_boundary(b, x, mesh))(bs_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+    # gradient flows (all_to_all transpose)
+    grad = jax.jit(jax.grad(lambda x: jnp.sum(halo_spmm_boundary(bs_sh, x, mesh) ** 2)))(x_sh)
+    assert np.all(np.isfinite(np.asarray(grad)))
