@@ -59,6 +59,9 @@ def main():
     parser.add_argument("--ckpt-dir", type=str, default=None,
                         help="enable checkpoint/resume (orbax) in this directory")
     parser.add_argument("--ckpt-every", type=int, default=50)
+    parser.add_argument("--bf16-messages", action="store_true",
+                        help="bf16 neighbor messages (halves the E x D "
+                             "intermediate; f32 accumulation)")
     parser.add_argument("--no-precompute", action="store_true",
                         help="disable hoisting the (training-constant) layer-1 "
                              "neighbor aggregation out of the step")
@@ -100,6 +103,7 @@ def main():
         aggr=args.aggr,
         dropout=cfg["dropout"],
         batch_norm=cfg["bn"],
+        msg_dtype=jnp.bfloat16 if args.bf16_messages else None,
     )
     tx = adam_l2(cfg["lr"], cfg["wd"])
 

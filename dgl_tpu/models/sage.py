@@ -11,7 +11,7 @@ Architecture parity targets:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -34,6 +34,7 @@ class GraphSAGE(nn.Module):
     aggr: str = "mean"
     dropout: float = 0.5
     batch_norm: bool = False
+    msg_dtype: Optional[Any] = None  # see SAGEConv.msg_dtype
 
     @nn.compact
     def __call__(
@@ -67,7 +68,8 @@ class GraphSAGE(nn.Module):
             feat = (h, h[: g.num_dst_nodes]) if g.is_block else h
             if self.batch_norm:
                 # reference arxiv net: conv -> BN -> relu -> dropout
-                h = SAGEConv(out_dim, aggr=self.aggr, name=f"conv_{i}")(
+                h = SAGEConv(out_dim, aggr=self.aggr, msg_dtype=self.msg_dtype,
+                             name=f"conv_{i}")(
                     g, feat, deterministic=deterministic, **agg_kw
                 )
                 if not last:
@@ -84,6 +86,7 @@ class GraphSAGE(nn.Module):
                     aggr=self.aggr,
                     feat_drop=self.dropout if last else 0.0,
                     activation=None if last else nn.relu,
+                    msg_dtype=self.msg_dtype,
                     name=f"conv_{i}",
                 )(g, feat, deterministic=deterministic, **agg_kw)
         return h

@@ -48,6 +48,10 @@ class SAGEConv(nn.Module):
     aggr: str = "mean"  # 'mean' | 'sum'
     feat_drop: float = 0.0
     activation: Optional[Callable] = None
+    # bf16 neighbor messages: halves the (E, D) intermediate (wide layers on
+    # huge graphs would otherwise need feature chunking = repeated row
+    # gathers); accumulation stays f32 via the convert-fused scatter.
+    msg_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -87,9 +91,13 @@ class SAGEConv(nn.Module):
             # ~38×; identical math — the bias is added after aggregation in
             # both orders, preserving exact reference semantics including
             # zero-in-degree rows and sum reduce).
-            h_neigh = gspmm(g, "copy_u", self.aggr, x=fc_neigh(x_src))
+            z = fc_neigh(x_src)
+            if self.msg_dtype is not None:
+                z = z.astype(self.msg_dtype)
+            h_neigh = gspmm(g, "copy_u", self.aggr, x=z)
         else:
-            h_neigh = fc_neigh(gspmm(g, "copy_u", self.aggr, x=x_src))
+            xs = x_src if self.msg_dtype is None else x_src.astype(self.msg_dtype)
+            h_neigh = fc_neigh(gspmm(g, "copy_u", self.aggr, x=xs))
         out = fc_self(x_dst) + h_neigh + bias
         if self.activation is not None:
             out = self.activation(out)

@@ -254,3 +254,17 @@ def test_gat_training_grads(rng):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_sage_bf16_messages_close(rng):
+    """bf16 neighbor messages approximate the f32 path to bf16 tolerance."""
+    n, e = 30, 200
+    g, _, _ = _graph(rng, n, e)
+    x = jnp.asarray(rng.standard_normal((n, 24)).astype(np.float32))
+    c32 = SAGEConv(8, aggr="mean")
+    cbf = SAGEConv(8, aggr="mean", msg_dtype=jnp.bfloat16)
+    params = c32.init(jax.random.PRNGKey(0), g, x)
+    o32 = np.asarray(c32.apply(params, g, x))
+    obf = np.asarray(cbf.apply(params, g, x))
+    assert obf.dtype == np.float32
+    np.testing.assert_allclose(obf, o32, rtol=2e-2, atol=2e-2)
