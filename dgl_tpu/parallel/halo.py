@@ -156,8 +156,9 @@ class BoundarySharded:
     ``all_to_all`` of (k, H, D) row blocks (H = max rows any pair
     exchanges), and edge sources are pre-remapped into the received table.
 
-    src_remap: (k, E_sh) int32 — per-shard edge sources as indices into the
-               received row table (owner·H + slot); sentinel k·H-1 on pads.
+    src_remap: (k, E_sh) int32 — per-shard edge sources as indices into
+               [own rows | received rows] (own-local id, or
+               nps + owner·H + slot); sentinel = last slot on pads.
     indptr:    (k, nps+1) int32 — local dst offsets (as ShardedGraph).
     send_tab:  (k, k, H) int32 — send_tab[o, s] = owner-local row indices o
                ships to s (padding 0 → harmless duplicate rows).
@@ -206,7 +207,12 @@ def shard_fullgraph_boundary(
         per_indptr.append(indptr)
         uniq = np.unique(src_sorted) if len(src_sorted) else np.zeros(0, np.int64)
         owners = uniq // nps
-        needed.append([uniq[owners == o] - o * nps for o in range(k)])
+        # own-shard rows are read directly from the local slice (keeps them
+        # out of the all_to_all AND makes the local-edge computation
+        # independent of the collective, so XLA can overlap them)
+        needed.append(
+            [uniq[(owners == o) & (o != s_i)] - o * nps for o in range(k)]
+        )
 
     H = max(
         (len(lst) for req in needed for lst in req), default=1
@@ -215,14 +221,17 @@ def shard_fullgraph_boundary(
     e_pad = pad_length(max((len(s) for s in per_src), default=1))
 
     send_tab = np.zeros((k, k, H), dtype=np.int32)
-    src_remap = np.full((k, e_pad), k * H - 1, dtype=np.int32)
+    src_remap = np.full((k, e_pad), nps + k * H - 1, dtype=np.int32)
     indptr_s = np.zeros((k, nps + 1), dtype=np.int32)
     lookup = np.zeros(num_nodes + nps * k, dtype=np.int64)
     for s_i in range(k):
+        # table layout: [own rows (nps) | recv (k*H)]
+        own = np.arange(nps, dtype=np.int64)
+        lookup[s_i * nps + own] = own
         for o in range(k):
             rows = needed[s_i][o]
             send_tab[o, s_i, : len(rows)] = rows
-            lookup[o * nps + rows] = o * H + np.arange(len(rows))
+            lookup[o * nps + rows] = nps + o * H + np.arange(len(rows))
         sl = per_src[s_i]
         src_remap[s_i, : len(sl)] = lookup[sl]
         indptr_s[s_i] = per_indptr[s_i]
@@ -259,7 +268,11 @@ def halo_spmm_boundary(
             bs.num_shards, H, x_s.shape[1]
         )
         recv = jax.lax.all_to_all(payload, axis, split_axis=0, concat_axis=0, tiled=False)
-        table = recv.reshape(bs.num_shards * H, x_s.shape[1])
+        # own rows first, then received halo — local-edge messages depend
+        # only on x_s, so XLA overlaps them with the collective
+        table = jnp.concatenate(
+            [x_s, recv.reshape(bs.num_shards * H, x_s.shape[1])], axis=0
+        )
         msg = jnp.take(table, remap_l, axis=0)
         from ..ops.segment import segment_sum_sorted_scan
 
