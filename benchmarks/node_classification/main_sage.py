@@ -59,6 +59,10 @@ def main():
     parser.add_argument("--ckpt-dir", type=str, default=None,
                         help="enable checkpoint/resume (orbax) in this directory")
     parser.add_argument("--ckpt-every", type=int, default=50)
+    parser.add_argument("--lane-kernel", action="store_true",
+                        help="relabel nodes by a locality partition and attach "
+                             "Pallas lane-SpMM plans (auto-fallback when the "
+                             "graph tiles too sparsely)")
     parser.add_argument("--bf16-messages", action="store_true",
                         help="bf16 neighbor messages (halves the E x D "
                              "intermediate; f32 accumulation)")
@@ -83,10 +87,31 @@ def main():
     src, dst = data.src, data.dst
     if cfg["bidirect"]:
         src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    features, labels = data.features, data.labels
+    mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
+    if args.lane_kernel:
+        # locality relabeling maximizes the lane plan's tile density
+        from dgl_tpu.graph.partition import partition_assignment
+
+        part = partition_assignment(src, dst, data.num_nodes,
+                                    max(data.num_nodes // 1024, 2), seed=args.seed)
+        order = np.argsort(part, kind="stable")
+        new_id = np.empty(data.num_nodes, np.int64)
+        new_id[order] = np.arange(data.num_nodes)
+        src, dst = new_id[src], new_id[dst]
+        features = features[order]
+        labels = labels[order]
+        mask_arrays = {k: v[order] for k, v in mask_arrays.items()}
     g = dgl_tpu.from_edges(src, dst, data.num_nodes)
-    x = jnp.asarray(data.features)
-    y = jnp.asarray(data.labels)
-    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+    if args.lane_kernel:
+        from dgl_tpu.kernels import attach_lane_plans
+
+        g = attach_lane_plans(g)
+        if g.lane is None:
+            print("lane kernel: graph tiles too sparsely — using the XLA path")
+    x = jnp.asarray(features)
+    y = jnp.asarray(labels)
+    masks = {k: jnp.asarray(v) for k, v in mask_arrays.items()}
 
     # Hoist the layer-1 aggregation of the constant input features out of
     # the hot loop (exact; see GraphSAGE docstring / reference use_pp trick).

@@ -29,6 +29,17 @@ from dgl_tpu.ops import gsddmm, gspmm
 N_REPEATS = 10
 N_COLD_START = 2
 FEAT_SIZES = [2**x for x in range(8)]
+_CSV_PATH = None
+
+
+def _csv(dataset, kind, op, hidden, seconds):
+    if _CSV_PATH:
+        import os
+        new = not os.path.exists(_CSV_PATH)
+        with open(_CSV_PATH, "a") as f:
+            if new:
+                f.write("dataset,kind,op,hidden,seconds\n")
+            f.write(f"{dataset},{kind},{op},{hidden},{seconds}\n")
 
 
 def bench_op(fn, *args):
@@ -68,6 +79,7 @@ def bench_spmm(g, binary_op, reduce_op, scale):
 
             avg = bench_op(run)
             print("hidden size: {}, avg time: {}".format(n_hid, avg))
+            _csv(g, "spmm", f"{binary_op}.{reduce_op}", n_hid, avg)
         except Exception as e:  # OOM etc → report and continue (dgl-new.py:26)
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
@@ -88,6 +100,7 @@ def bench_sddmm(g, binary_op, scale):
 
             avg = bench_op(run)
             print("hidden size: {}, avg time: {}".format(n_hid, avg))
+            _csv(g, "sddmm", binary_op, n_hid, avg)
         except Exception as e:
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
@@ -105,8 +118,12 @@ if __name__ == "__main__":
     parser.add_argument("--scale", type=float, default=1.0)
     parser.add_argument("--skip-sddmm", action="store_true")
     parser.add_argument("--skip-spmm", action="store_true")
+    parser.add_argument("--csv", type=str, default=None,
+                        help="append rows (dataset,kind,op,hidden,seconds) to this CSV")
     args = parser.parse_args()
     print(args)
+    _CSV_PATH = args.csv
+    globals()["_CSV_PATH"] = args.csv
     for dataset in args.datasets.split(","):
         print("benchmarking on:", dataset)
         if not args.skip_spmm:
