@@ -52,6 +52,9 @@ def main():
     p.add_argument("--eval", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--save-pred", type=str, default=None,
+                   help="np.savetxt final predictions here (reference "
+                        "cluster-sage/dgl/main.py:172-173)")
     args = p.parse_args()
     print(args)
 
@@ -130,6 +133,10 @@ def main():
                 )
         if args.eval:
             logger.print_statistics(run)
+        if args.save_pred:
+            logits = model.apply({"params": params}, g_full, x_full, deterministic=True)
+            np.savetxt(args.save_pred + f"_{run}",
+                       np.asarray(jnp.argmax(logits, axis=-1)), fmt="%d")
     if args.eval:
         logger.print_statistics()
 
