@@ -274,3 +274,33 @@ def test_segment_sum_blocked_accuracy(rng, monkeypatch):
     monkeypatch.setenv("DGL_TPU_SEGSUM", "scatter")
     b = np.asarray(gspmm(g, "copy_u", "sum", x=x))
     np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-5)
+
+
+def test_edge_input_order_invariance(rng):
+    """Canonicalization makes results independent of edge input order."""
+    n, n_e, d = 15, 60, 4
+    src = rng.integers(0, n, n_e)
+    dst = rng.integers(0, n, n_e)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    perm = rng.permutation(n_e)
+    g1 = from_edges(src, dst, n)
+    g2 = from_edges(src[perm], dst[perm], n)
+    o1 = np.asarray(gspmm(g1, "copy_u", "mean", x=x))
+    o2 = np.asarray(gspmm(g2, "copy_u", "mean", x=x))
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_node_relabel_equivariance(rng):
+    """Permuting node ids permutes outputs correspondingly."""
+    n, n_e, d = 12, 50, 3
+    src = rng.integers(0, n, n_e)
+    dst = rng.integers(0, n, n_e)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    perm = rng.permutation(n)  # new id of old node i is perm[i]
+    g1 = from_edges(src, dst, n)
+    g2 = from_edges(perm[src], perm[dst], n)
+    x2 = np.zeros_like(x)
+    x2[perm] = x
+    o1 = np.asarray(gspmm(g1, "copy_u", "sum", x=jnp.asarray(x)))
+    o2 = np.asarray(gspmm(g2, "copy_u", "sum", x=jnp.asarray(x2)))
+    np.testing.assert_allclose(o2[perm], o1, rtol=1e-5, atol=1e-6)
