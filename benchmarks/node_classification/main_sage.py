@@ -12,6 +12,7 @@ Stdout format (``Training time/epoch``, Logger stats) is harness-parsed.
 import argparse
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -59,6 +60,10 @@ def main():
     parser.add_argument("--ckpt-dir", type=str, default=None,
                         help="enable checkpoint/resume (orbax) in this directory")
     parser.add_argument("--ckpt-every", type=int, default=50)
+    parser.add_argument("--scan-epochs", type=int, default=1,
+                        help="epochs per device dispatch (lax.scan): amortizes "
+                             "the per-call dispatch latency that dominates "
+                             "small graphs; applies when --eval is not set")
     parser.add_argument("--lane-kernel", action="store_true",
                         help="relabel nodes by a locality partition and attach "
                              "Pallas lane-SpMM plans (auto-fallback when the "
@@ -135,8 +140,7 @@ def main():
     # NB: graph/features/labels are jit *arguments*, never closures — closed-
     # over arrays are baked into the HLO as constants (OOMs the compiler on
     # reddit/products-sized data).
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, key, g, x, y, masks, x_agg):
+    def _train_step_body(params, batch_stats, opt_state, key, g, x, y, masks, x_agg):
         def loss_fn(p):
             variables = {"params": p, **({"batch_stats": batch_stats} if batch_stats else {})}
             out = model.apply(
@@ -150,6 +154,23 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, new_state.get("batch_stats", batch_stats), opt_state, loss
+
+    train_step = jax.jit(_train_step_body)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def train_chunk(params, batch_stats, opt_state, key, g, x, y, masks, x_agg, k):
+        """k epochs in ONE dispatch (identical rng sequence to the loop)."""
+        def body(carry, _):
+            params, batch_stats, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss = _train_step_body(
+                params, batch_stats, opt_state, sub, g, x, y, masks, x_agg
+            )
+            return (params, batch_stats, opt_state, key), loss
+        (params, batch_stats, opt_state, key), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), None, length=k
+        )
+        return params, batch_stats, opt_state, key, losses[-1]
 
     @jax.jit
     def eval_step(params, batch_stats, g, x, y, masks, x_agg):
