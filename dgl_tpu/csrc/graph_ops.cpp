@@ -82,6 +82,10 @@ void sample_neighbors(const int64_t *indptr, const int64_t *indices,
 // relabelled to positions in `nodes`. Returns edge count written.
 // mapping: caller-provided scratch of size num_nodes (int64).
 // out_src/out_dst must have room for the total out-degree of `nodes`.
+// Deterministic: edges are emitted grouped by sub-node index (CSR order
+// within each node) via a count → exclusive-scan → write scheme, so the
+// output is bit-identical across runs and thread counts (seeded cluster
+// batches stay reproducible).
 int64_t node_subgraph(const int64_t *indptr, const int64_t *indices,
                       int64_t num_nodes, const int64_t *nodes,
                       int64_t n_sub, int64_t *mapping, uint8_t *present,
@@ -91,38 +95,34 @@ int64_t node_subgraph(const int64_t *indptr, const int64_t *indices,
     present[nodes[i]] = 1;
     mapping[nodes[i]] = i;
   }
-  // per-node local counts then prefix for deterministic parallel write
-  std::atomic<int64_t> cursor(0);
-  int64_t total = 0;
-#pragma omp parallel
-  {
-    int64_t local_buf_src[4096];
-    int64_t local_buf_dst[4096];
-#pragma omp for schedule(dynamic, 64)
-    for (int64_t i = 0; i < n_sub; ++i) {
-      int64_t u = nodes[i];
-      int64_t n_local = 0;
-      for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
-        int64_t w = indices[p];
-        if (present[w]) {
-          local_buf_src[n_local] = i;
-          local_buf_dst[n_local] = mapping[w];
-          if (++n_local == 4096) {
-            int64_t base = cursor.fetch_add(n_local);
-            std::memcpy(out_src + base, local_buf_src, n_local * sizeof(int64_t));
-            std::memcpy(out_dst + base, local_buf_dst, n_local * sizeof(int64_t));
-            n_local = 0;
-          }
-        }
-      }
-      if (n_local) {
-        int64_t base = cursor.fetch_add(n_local);
-        std::memcpy(out_src + base, local_buf_src, n_local * sizeof(int64_t));
-        std::memcpy(out_dst + base, local_buf_dst, n_local * sizeof(int64_t));
+  // pass 1: kept-edge count per sub node
+  int64_t *offs = new int64_t[n_sub + 1];
+  offs[0] = 0;
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < n_sub; ++i) {
+    int64_t u = nodes[i];
+    int64_t c = 0;
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p)
+      c += present[indices[p]];
+    offs[i + 1] = c;
+  }
+  for (int64_t i = 0; i < n_sub; ++i) offs[i + 1] += offs[i];
+  // pass 2: write at deterministic offsets
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < n_sub; ++i) {
+    int64_t u = nodes[i];
+    int64_t pos = offs[i];
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+      int64_t w = indices[p];
+      if (present[w]) {
+        out_src[pos] = i;
+        out_dst[pos] = mapping[w];
+        ++pos;
       }
     }
   }
-  total = cursor.load();
+  int64_t total = offs[n_sub];
+  delete[] offs;
   // reset scratch for reuse
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_sub; ++i) present[nodes[i]] = 0;

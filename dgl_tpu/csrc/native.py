@@ -118,6 +118,9 @@ class SubgraphExtractor:
         self.num_nodes = num_nodes
         self._mapping = np.zeros(num_nodes, dtype=np.int64)
         self._present = np.zeros(num_nodes, dtype=np.uint8)
+        # scratch buffers are shared across calls; serialize extract() so a
+        # prefetch thread and the main thread can share one extractor
+        self._scratch_lock = threading.Lock()
 
     def extract(self, nodes: np.ndarray):
         nodes = np.ascontiguousarray(nodes, np.int64)
@@ -126,10 +129,11 @@ class SubgraphExtractor:
             cap = int(self.indptr[nodes + 1].sum() - self.indptr[nodes].sum())
             out_src = np.empty(max(cap, 1), dtype=np.int64)
             out_dst = np.empty(max(cap, 1), dtype=np.int64)
-            n = lib.node_subgraph(
-                self.indptr, self.indices, self.num_nodes, nodes, len(nodes),
-                self._mapping, self._present, out_src, out_dst,
-            )
+            with self._scratch_lock:
+                n = lib.node_subgraph(
+                    self.indptr, self.indices, self.num_nodes, nodes, len(nodes),
+                    self._mapping, self._present, out_src, out_dst,
+                )
             return out_src[:n], out_dst[:n]
         present = np.zeros(self.num_nodes, dtype=bool)
         present[nodes] = True

@@ -79,7 +79,11 @@ def partition_assignment(
 ) -> np.ndarray:
     """(num_nodes,) partition id per node; cached like the reference."""
     if cache_dir and cache_key:
-        path = os.path.join(cache_dir, f"{cache_key}_part_{k}_{method}.npy")
+        # keyed by seed + edge count so a different --seed (or a changed
+        # graph under the same name) never silently reuses a stale partition
+        path = os.path.join(
+            cache_dir, f"{cache_key}_part_{k}_{method}_s{seed}_e{len(src)}.npy"
+        )
         if os.path.exists(path):
             return np.load(path)
     rng = np.random.default_rng(seed)

@@ -32,16 +32,20 @@ __all__ = ["LaneAttachment", "attach_lane_plans"]
 class LaneAttachment:
     plan: LanePlan
     remainder: Optional[Graph]  # sparse-tile edges for the XLA path
+    # VMEM-resident feature dtype for the kernel (None → bf16 default;
+    # pass jnp.float32 to keep full precision at 2x the VMEM footprint)
+    compute_dtype: Optional[object] = None
 
     def tree_flatten(self):
-        return (self.plan, self.remainder), None
+        return (self.plan, self.remainder), (self.compute_dtype,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, *aux)
 
 
-def _attach_one(g: Graph, dense_threshold: int, max_expansion: float) -> Optional[LaneAttachment]:
+def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
+                compute_dtype=None) -> Optional[LaneAttachment]:
     src, dst = g.edges_numpy()
     plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
                       dense_threshold=dense_threshold)
@@ -59,19 +63,25 @@ def _attach_one(g: Graph, dense_threshold: int, max_expansion: float) -> Optiona
             plan.rem_src, plan.rem_dst, g.num_src_nodes, g.num_dst_nodes,
             build_reverse=False,
         )
-    return LaneAttachment(plan=plan, remainder=rem)
+    return LaneAttachment(plan=plan, remainder=rem, compute_dtype=compute_dtype)
 
 
 def attach_lane_plans(
-    g: Graph, *, dense_threshold: int = 48, max_expansion: float = 2.5
+    g: Graph, *, dense_threshold: int = 48, max_expansion: float = 2.5,
+    compute_dtype=None,
 ) -> Graph:
     """Returns ``g`` with lane plans attached to it and its reverse (when
-    profitable); returns ``g`` unchanged if the graph tiles too sparsely."""
-    fwd = _attach_one(g, dense_threshold, max_expansion)
+    profitable); returns ``g`` unchanged if the graph tiles too sparsely.
+
+    ``compute_dtype`` sets the kernel's VMEM feature dtype (None → bf16,
+    ~1e-2 relative error; ``jnp.float32`` keeps full precision at double
+    the VMEM footprint — only viable for small D x N).
+    """
+    fwd = _attach_one(g, dense_threshold, max_expansion, compute_dtype)
     if fwd is None:
         return g
     rev = g.reverse
     if rev is not None:
-        rev_att = _attach_one(rev, dense_threshold, max_expansion)
+        rev_att = _attach_one(rev, dense_threshold, max_expansion, compute_dtype)
         rev = dataclasses.replace(rev, lane=rev_att)
     return dataclasses.replace(g, lane=fwd, reverse=rev)

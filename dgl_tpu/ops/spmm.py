@@ -76,11 +76,13 @@ def _gather_src(g: Graph, x):
     return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
 
 
-def _seg_sum_by_dst(g: Graph, msg):
+def _seg_sum_by_dst(g: Graph, msg, exact: bool = False):
     """Sum messages (canonical order) by destination; (E_pad,...) → (N_dst,...).
     Scan formulation on TPU (measured 19ms vs 44ms scatter at reddit (E,16));
     scan reassociation costs ~1e-5 relative error, so exact scatter stays the
-    CPU/test default. bf16 messages take the sorted-scatter path with an
+    CPU/test default. ``exact=True`` forces the bitwise-faithful sorted
+    scatter (one-time precomputes want this regardless of the global mode).
+    bf16 messages take the sorted-scatter path with an
     f32 accumulator (a bf16 prefix scan would lose precision, and the f32
     convert fuses into the scatter without materializing an f32 (E, D)
     buffer — that buffer is what OOMs reddit GAT)."""
@@ -88,6 +90,8 @@ def _seg_sum_by_dst(g: Graph, msg):
         return segment_sum(
             msg.astype(jnp.float32), g.dst, g.num_dst_nodes, sorted=True
         )
+    if exact:
+        return segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
     if use_scan_reductions(g.num_edges_padded):
         if g.segblocks is not None:
             # blocked formulation: scan speed, scatter-grade accuracy
@@ -96,12 +100,12 @@ def _seg_sum_by_dst(g: Graph, msg):
     return segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
 
 
-def _reduce(g: Graph, msg, reduce: str):
+def _reduce(g: Graph, msg, reduce: str, exact: bool = False):
     n = g.num_dst_nodes
     if reduce == "sum":
-        return _seg_sum_by_dst(g, msg)
+        return _seg_sum_by_dst(g, msg, exact)
     if reduce == "mean":
-        s = _seg_sum_by_dst(g, msg)
+        s = _seg_sum_by_dst(g, msg, exact)
         inv = _inv_deg(g, s.dtype)
         return s * inv.reshape(inv.shape + (1,) * (s.ndim - 1))
     if reduce == "max":
@@ -137,7 +141,8 @@ def _lane_forward_sum(g: Graph, x):
     from ..kernels.lane_spmm import lane_spmm
 
     att = g.lane
-    out = lane_spmm(att.plan, x)[: g.num_dst_nodes]
+    cd = att.compute_dtype if att.compute_dtype is not None else jnp.bfloat16
+    out = lane_spmm(att.plan, x, compute_dtype=cd)[: g.num_dst_nodes]
     if att.remainder is not None:
         rem = att.remainder
         msg = jnp.take(x, jnp.minimum(rem.src, rem.num_src_nodes - 1), axis=0)
@@ -189,21 +194,21 @@ _lane_copy_u.defvjp(_lane_copy_u_fwd, _lane_copy_u_bwd)
 #       grad_x = segment_sum_by_src(grad_xe)    (sorted via reverse graph)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _spmm_xe(op: str, reduce: str, g: Graph, x, e):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_xe(op: str, reduce: str, exact: bool, g: Graph, x, e):
     msg = _combine(op, _gather_src(g, x), e)
-    out = _seg_sum_by_dst(g, msg)
+    out = _seg_sum_by_dst(g, msg, exact)
     if reduce == "mean":
         inv = _inv_deg(g, out.dtype)
         out = out * inv.reshape(inv.shape + (1,) * (out.ndim - 1))
     return out
 
 
-def _spmm_xe_fwd(op, reduce, g, x, e):
-    return _spmm_xe(op, reduce, g, x, e), (g, x, e)
+def _spmm_xe_fwd(op, reduce, exact, g, x, e):
+    return _spmm_xe(op, reduce, exact, g, x, e), (g, x, e)
 
 
-def _spmm_xe_bwd(op, reduce, res, g_out):
+def _spmm_xe_bwd(op, reduce, exact, res, g_out):
     g, x, e = res
     if reduce == "mean":
         inv = _inv_deg(g, g_out.dtype)
@@ -217,7 +222,7 @@ def _spmm_xe_bwd(op, reduce, res, g_out):
     if op in ("copy_u", "copy_lhs"):
         if rev is not None:
             msg = jnp.take(g_out, jnp.minimum(rev.src, rev.num_src_nodes - 1), axis=0)
-            grad_x = _seg_sum_by_dst(rev, msg)
+            grad_x = _seg_sum_by_dst(rev, msg, exact)
         else:
             grad_m = jnp.take(g_out, jnp.minimum(g.dst, g.num_dst_nodes - 1), axis=0)
             grad_x = segment_sum(grad_m, g.src, g.num_src_nodes, sorted=False)
@@ -233,7 +238,7 @@ def _spmm_xe_bwd(op, reduce, res, g_out):
         if rev is not None:
             perm = jnp.minimum(rev.eid, g.num_edges_padded - 1)
             grad_xe_rev = jnp.take(grad_xe, perm, axis=0)
-            grad_x = _seg_sum_by_dst(rev, grad_xe_rev)
+            grad_x = _seg_sum_by_dst(rev, grad_xe_rev, exact)
         else:
             grad_x = segment_sum(grad_xe, g.src, g.num_src_nodes, sorted=False)
         grad_x = grad_x.astype(x.dtype)
@@ -256,6 +261,8 @@ def gspmm(
     reduce: str,
     x: Optional[jnp.ndarray] = None,
     e: Optional[jnp.ndarray] = None,
+    *,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Generalized SpMM (see module docstring).
 
@@ -267,6 +274,8 @@ def gspmm(
       reduce: ``sum`` | ``mean`` | ``max`` | ``min``.
       x: (num_src_nodes, ...) source-node features.
       e: (E_pad, ...) edge features in canonical order.
+      exact: force the bitwise-faithful sorted-scatter reduction regardless
+        of the global scan/blocked mode (one-time precomputes).
     Returns:
       (num_dst_nodes, ...) aggregated features.
     """
@@ -295,7 +304,7 @@ def gspmm(
         return {
             "sum": jnp.sum, "mean": jnp.mean, "max": jnp.max, "min": jnp.min
         }[reduce](neigh, axis=1)
-    if _lane_eligible(g, x, op, reduce):
+    if not exact and _lane_eligible(g, x, op, reduce):
         # fused Pallas lane kernel (see kernels/lane_spmm.py)
         return _lane_copy_u(reduce, g, x)
     if (
@@ -323,15 +332,15 @@ def gspmm(
             xstack = jnp.moveaxis(xp.reshape(x.shape[0], n_chunks, chunk), 1, 0)
             zero_e = jnp.zeros((), x.dtype)
             outs = jax.lax.map(
-                lambda xc: _spmm_xe(op, reduce, g, xc, zero_e), xstack
+                lambda xc: _spmm_xe(op, reduce, exact, g, xc, zero_e), xstack
             )
             return jnp.moveaxis(outs, 0, 1).reshape(g.num_dst_nodes, d_pad)[:, :d]
     if needs_x and needs_e and reduce in ("sum", "mean"):
-        return _spmm_xe(op, reduce, g, x, e)
+        return _spmm_xe(op, reduce, exact, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):
         # reuse the custom-VJP path with a scalar dummy edge operand
         dummy = jnp.zeros((), dtype=x.dtype)
-        return _spmm_xe("copy_u", reduce, g, x, dummy)
+        return _spmm_xe("copy_u", reduce, exact, g, x, dummy)
 
     # max/min and copy_e paths: plain ops; AD of these is already efficient
     # (copy_e backward is a sorted gather; max/min route grads via argmax).
@@ -345,7 +354,7 @@ def gspmm(
             fill = -jnp.inf if reduce == "max" else jnp.inf
             m = g.edge_mask(jnp.bool_).reshape((-1,) + (1,) * (msg.ndim - 1))
             msg = jnp.where(m, msg, fill)
-    return _reduce(g, msg, reduce)
+    return _reduce(g, msg, reduce, exact)
 
 
 def gspmm_chunked(
@@ -362,17 +371,9 @@ def gspmm_chunked(
     speed — fine per-step, not for a cached constant).
     """
     outs = []
-    f = jax.jit(lambda g, xc: gspmm(g, op, reduce, x=xc), static_argnames=())
-    prev = os.environ.get("DGL_TPU_SEGSUM")
-    os.environ["DGL_TPU_SEGSUM"] = "scatter"
-    try:
-        for lo in range(0, x.shape[-1], chunk):
-            outs.append(f(g, x[:, lo : lo + chunk]))
-    finally:
-        if prev is None:
-            os.environ.pop("DGL_TPU_SEGSUM", None)
-        else:
-            os.environ["DGL_TPU_SEGSUM"] = prev
+    f = jax.jit(lambda g, xc: gspmm(g, op, reduce, x=xc, exact=True))
+    for lo in range(0, x.shape[-1], chunk):
+        outs.append(f(g, x[:, lo : lo + chunk]))
     return jnp.concatenate(outs, axis=-1)
 
 
