@@ -7,15 +7,19 @@ Reference baseline: DGL 0.6.1 on one V100 — 0.3627 s/epoch
 matched structure when the real dataset is absent — epoch time depends only
 on the structure).
 
-Framework configuration measured is the default a user gets: dst-sorted
-fused SpMM with scan-based segment reduction, transpose-graph backward, and
-the training-constant layer-1 aggregation hoisted out of the step (exact
-math; reported separately as setup). ``--no-precompute`` measures the
-unhoisted path.
+The measured configuration is the out-of-the-box default on TPU: locality
+node reordering (hub extraction + multilevel partition blocks), Pallas
+lane-SpMM plans auto-attached for forward and transpose graphs, blocked
+segment sums for the sparse-tile remainder. The primary metric is the
+UNHOISTED epoch — the full per-epoch work, matching the reference's timed
+loop (``main_dgl_citation_sage.py:211-222``). The exact layer-1 hoist
+(reference's ``use_pp`` trick) is reported as a secondary number.
 
 Prints ONE JSON line:
   {"metric": "reddit_sage_epoch_time", "value": <s>, "unit": "s",
-   "vs_baseline": <baseline/value>}  (vs_baseline > 1 == faster than DGL-V100)
+   "vs_baseline": <baseline/value>, "hoisted_s": <s>,
+   "hoisted_vs_baseline": ..., "setup_s": ...}
+(vs_baseline > 1 == faster than DGL-V100)
 """
 
 import argparse
@@ -30,12 +34,15 @@ BASELINE_S = 0.3627  # DGL V100, README.md:42
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=20, help="timed epochs")
+    parser.add_argument("--epochs", type=int, default=15, help="timed epochs per mode")
     parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--no-precompute", action="store_true")
+    parser.add_argument("--no-lane", action="store_true",
+                        help="disable the lane-kernel path (XLA ops only)")
+    parser.add_argument("--hoisted-only", action="store_true")
+    parser.add_argument("--unhoisted-only", action="store_true")
     parser.add_argument("--dataset", type=str, default="reddit")
     parser.add_argument("--profile", type=str, default=None,
-                        help="write a jax profiler trace of 3 epochs to this dir")
+                        help="write a jax profiler trace of 3 unhoisted epochs here")
     args = parser.parse_args()
 
     import jax
@@ -58,27 +65,31 @@ def main():
 
     import dgl_tpu
     from dgl_tpu.data import load_node_dataset
+    from dgl_tpu.graph.reorder import apply_order, locality_order
     from dgl_tpu.models import GraphSAGE
     from dgl_tpu.ops.spmm import gspmm_chunked
 
     data = load_node_dataset(args.dataset)
-    g = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
-    x = jnp.asarray(data.features)
-    y = jnp.asarray(data.labels)
-    mask = jnp.asarray(data.train_mask)
+    t_setup0 = time.time()
+    src, dst = data.src, data.dst
+    features, labels, train_mask = data.features, data.labels, data.train_mask
+    if not args.no_lane and jax.default_backend() == "tpu":
+        order = locality_order(src, dst, data.num_nodes, seed=0)
+        src, dst, features, labels, train_mask, _ = apply_order(
+            order, src, dst, features, labels, train_mask
+        )
+    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    if not args.no_lane and jax.default_backend() == "tpu":
+        from dgl_tpu.kernels import attach_lane_plans
+
+        g = attach_lane_plans(g)
+    t_setup = time.time() - t_setup0
+
+    x = jnp.asarray(features)
+    y = jnp.asarray(labels)
+    mask = jnp.asarray(train_mask)
 
     model = GraphSAGE(hidden_feats=16, out_feats=data.num_classes, num_layers=2)
-    x_agg = None
-    t_pre = 0.0
-    if not args.no_precompute:
-        t0 = time.time()
-        x_agg = gspmm_chunked(g, "copy_u", "mean", x)
-        jax.block_until_ready(x_agg)
-        t_pre = time.time() - t0
-
-    params = model.init(jax.random.PRNGKey(0), g, x, x_agg=x_agg)["params"]
-    tx = optax.adam(1e-2)
-    opt = tx.init(params)
 
     def loss_fn(p, key, g, x, y, mask, x_agg):
         logits = model.apply(
@@ -90,55 +101,75 @@ def main():
         m = mask.astype(ce.dtype)
         return jnp.sum(ce * m) / jnp.sum(m)
 
-    @jax.jit
-    def step(params, opt, key, g, x, y, mask, x_agg):
-        l, gr = jax.value_and_grad(loss_fn)(params, key, g, x, y, mask, x_agg)
-        up, opt = tx.update(gr, opt)
-        return optax.apply_updates(params, up), opt, l
+    tx = optax.adam(1e-2)
 
-    key = jax.random.PRNGKey(0)
-    for _ in range(args.warmup):
-        key, sub = jax.random.split(key)
-        params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
-    lv = float(l)
+    def measure(x_agg, profile_dir=None):
+        params = model.init(jax.random.PRNGKey(0), g, x, x_agg=x_agg)["params"]
+        opt = tx.init(params)
 
-    # The TPU tunnel in this environment is a shared pool with high variance
-    # under contention; time each epoch with a hard host sync (the reference
-    # syncs per epoch via loss.item() too) and report the MINIMUM — the
-    # machine-capability number — with the distribution on stderr.
-    if args.profile:
-        with jax.profiler.trace(args.profile):
-            for _ in range(3):
-                key, sub = jax.random.split(key)
-                params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
-            jax.block_until_ready(l)
-        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+        @jax.jit
+        def step(params, opt, key, g, x, y, mask, x_agg):
+            l, gr = jax.value_and_grad(loss_fn)(params, key, g, x, y, mask, x_agg)
+            up, opt = tx.update(gr, opt)
+            return optax.apply_updates(params, up), opt, l
 
-    times = []
-    for _ in range(args.epochs):
-        key, sub = jax.random.split(key)
+        key = jax.random.PRNGKey(0)
+        lv = np.nan
+        for _ in range(args.warmup):
+            key, sub = jax.random.split(key)
+            params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
+            lv = float(l)
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                for _ in range(3):
+                    key, sub = jax.random.split(key)
+                    params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
+                jax.block_until_ready(l)
+            print(f"# profiler trace written to {profile_dir}", file=sys.stderr)
+        # Shared-pool variance: hard host sync per epoch (the reference syncs
+        # via loss.item() too); report the MINIMUM — the machine-capability
+        # number — with the distribution on stderr.
+        times = []
+        for _ in range(args.epochs):
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
+            lv = float(l)  # hard sync
+            times.append(time.time() - t0)
+        assert np.isfinite(lv), f"non-finite loss {lv}"
+        return min(times), times, lv
+
+    dt_unhoisted = dt_hoisted = None
+    times_u = times_h = []
+    lv = np.nan
+    if not args.hoisted_only:
+        dt_unhoisted, times_u, lv = measure(None, profile_dir=args.profile)
+    t_pre = 0.0
+    if not args.unhoisted_only:
         t0 = time.time()
-        params, opt, l = step(params, opt, sub, g, x, y, mask, x_agg)
-        lv = float(l)  # hard sync
-        times.append(time.time() - t0)
-    dt = min(times)
-    assert np.isfinite(lv), f"non-finite loss {lv}"
+        x_agg = gspmm_chunked(g, "copy_u", "mean", x)
+        jax.block_until_ready(x_agg)
+        t_pre = time.time() - t0
+        dt_hoisted, times_h, lv = measure(x_agg)
 
-    print(
-        json.dumps(
-            {
-                "metric": "reddit_sage_epoch_time",
-                "value": round(dt, 5),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / dt, 3),
-            }
-        )
-    )
+    primary = dt_unhoisted if dt_unhoisted is not None else dt_hoisted
+    out = {
+        "metric": "reddit_sage_epoch_time",
+        "value": round(primary, 5),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / primary, 3),
+    }
+    if dt_hoisted is not None and dt_unhoisted is not None:
+        out["hoisted_s"] = round(dt_hoisted, 5)
+        out["hoisted_vs_baseline"] = round(BASELINE_S / dt_hoisted, 3)
+    out["setup_s"] = round(t_setup, 2)
+    print(json.dumps(out))
     print(
         f"# device={jax.devices()[0].device_kind} precompute_setup_s={t_pre:.2f} "
         f"final_loss={lv:.4f} baseline_dgl_v100_s={BASELINE_S} "
         f"synthetic_data={data.synthetic} "
-        f"epoch_times_s={[round(t, 4) for t in times]}",
+        f"unhoisted_epochs_s={[round(t, 4) for t in times_u]} "
+        f"hoisted_epochs_s={[round(t, 4) for t in times_h]}",
         file=sys.stderr,
     )
 

@@ -74,6 +74,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_uint64, _i64p,
         ]
         lib.partition_lp.restype = None
+        lib.partition_multilevel.argtypes = [
+            _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, _i64p,
+        ]
+        lib.partition_multilevel.restype = ctypes.c_int64
         lib.build_csr.argtypes = [
             _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
         ]
@@ -146,6 +151,23 @@ class SubgraphExtractor:
         mapping = np.zeros(self.num_nodes, dtype=np.int64)
         mapping[nodes] = np.arange(len(nodes))
         return rel_src[keep].astype(np.int64), mapping[self.indices[cand[keep]]]
+
+
+def partition_multilevel(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, k: int, seed: int
+) -> Optional[np.ndarray]:
+    """Native multilevel k-way partition (heavy-edge matching coarsening +
+    BFS growing + boundary refinement — the METIS recipe). None → no native
+    lib; caller should fall back to LP."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    part = np.empty(num_nodes, dtype=np.int64)
+    lib.partition_multilevel(
+        np.ascontiguousarray(src, np.int64), np.ascontiguousarray(dst, np.int64),
+        len(src), num_nodes, k, seed & 0xFFFFFFFFFFFFFFFF, part,
+    )
+    return part
 
 
 def partition_lp(

@@ -169,7 +169,7 @@ def _lane_copy_u_bwd(reduce, res, g_out):
         g_out = g_out * _inv_deg(g, g_out.dtype)[:, None]
     rev = g.reverse
     # transpose SpMM over the reverse graph — lane kernel again if attached
-    if rev is not None and rev.lane is not None and g_out.shape[1] <= 32:
+    if rev is not None and rev.lane is not None and g_out.shape[1] <= 64:
         grad_x = _lane_forward_sum(rev, g_out)
     elif rev is not None:
         msg = jnp.take(g_out, jnp.minimum(rev.src, rev.num_src_nodes - 1), axis=0)

@@ -64,13 +64,28 @@ def test_lane_spmm_mean(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_lane_spmm_rejects_wide_features(rng):
-    n, e = 200, 1000
+def test_lane_spmm_wide_features_and_weights(rng):
+    """v2: wide D runs as a feature-slab grid; u_mul_e via plan-layout
+    weights; both must match the numpy oracle."""
+    from dgl_tpu.kernels.lane_spmm import plan_layout_edata
+
+    n, e, d = 200, 4000, 64
     src = rng.integers(0, n, e)
     dst = rng.integers(0, n, e)
-    plan = build_plan(src, dst, n, n)
-    with pytest.raises(ValueError, match="D<=32"):
-        lane_spmm(plan, jnp.zeros((n, 64)), interpret=True)
+    plan = build_plan(src, dst, n, n, dense_threshold=1)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    oracle = np.zeros((plan.n_dst_pad, d), np.float32)
+    np.add.at(oracle, dst, x[src])
+    out = lane_spmm(plan, jnp.asarray(x), interpret=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-4)
+
+    w = rng.standard_normal(e).astype(np.float32)
+    wp = plan_layout_edata(plan, w)
+    oracle_w = np.zeros((plan.n_dst_pad, d), np.float32)
+    np.add.at(oracle_w, dst, x[src] * w[:, None])
+    out_w = lane_spmm(plan, jnp.asarray(x), jnp.asarray(wp), interpret=True,
+                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_w), oracle_w, rtol=1e-5, atol=1e-4)
 
 
 def test_attach_and_dispatch_interpret(rng, monkeypatch):
