@@ -52,6 +52,88 @@ class MovieLensData:
     synthetic: bool = True
 
 
+def _hash_embedding(text: str, dim: int = 300) -> np.ndarray:
+    """Deterministic per-token embedding averaged over the title's tokens —
+    stands in for the reference's GloVe-840B average (``gcmc_dgl/
+    data.py:517-531``) in this zero-egress environment. Each token maps to a
+    fixed unit-variance vector seeded by a stable hash of its lowercase
+    form, so shared title words still produce correlated features."""
+    import zlib
+
+    toks = [t for t in "".join(c if c.isalnum() else " " for c in text.lower()).split() if t]
+    if not toks:
+        return np.zeros(dim, np.float32)
+    vecs = [
+        np.random.default_rng(zlib.crc32(t.encode())).standard_normal(dim)
+        for t in toks
+    ]
+    return np.mean(vecs, axis=0).astype(np.float32)
+
+
+def _load_user_features(dir_: str, n_u: int) -> Optional[np.ndarray]:
+    """Parse ``u.user`` (``id|age|gender|occupation|zip``) into the
+    reference's user feature layout: ``[age/50, is_female,
+    occupation-one-hot]`` (``gcmc_dgl/data.py:415-431``)."""
+    path = os.path.join(dir_, "u.user")
+    if not os.path.exists(path):
+        return None
+    rows = []
+    with open(path, encoding="latin1") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                rows.append(line.split("|"))
+    ids = np.array([int(r[0]) for r in rows]) - 1
+    ages = np.array([float(r[1]) for r in rows], np.float32)
+    female = np.array([1.0 if r[2] == "F" else 0.0 for r in rows], np.float32)
+    occs = sorted({r[3] for r in rows})
+    occ_map = {o: i for i, o in enumerate(occs)}
+    one_hot = np.zeros((len(rows), len(occs)), np.float32)
+    one_hot[np.arange(len(rows)), [occ_map[r[3]] for r in rows]] = 1.0
+    feat = np.zeros((n_u, 2 + len(occs)), np.float32)
+    feat[ids] = np.concatenate(
+        [ages[:, None] / 50.0, female[:, None], one_hot], axis=1
+    )
+    return feat
+
+
+def _load_movie_features(dir_: str, n_m: int) -> Optional[np.ndarray]:
+    """Parse ``u.item`` (``id|title|release_date|video_date|url|<19 genre
+    flags>``) into the reference layout: ``[title-embedding(300),
+    (year-1950)/100, genres]`` (``gcmc_dgl/data.py:492-537``), with the
+    GloVe average replaced by :func:`_hash_embedding`."""
+    import re
+
+    path = os.path.join(dir_, "u.item")
+    if not os.path.exists(path):
+        return None
+    year_re = re.compile(r"(.+)\s*\((\d+)\)")
+    titles, years, genres, ids = [], [], [], []
+    with open(path, encoding="latin1") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) < 6:
+                continue
+            ids.append(int(parts[0]) - 1)
+            m = year_re.match(parts[1])
+            if m:
+                titles.append(m.group(1))
+                years.append(float(m.group(2)))
+            else:
+                titles.append(parts[1])
+                years.append(1950.0)
+            genres.append([float(g) for g in parts[5:]])
+    n_genres = max(len(g) for g in genres)
+    feat = np.zeros((n_m, 300 + 1 + n_genres), np.float32)
+    for i, mid in enumerate(ids):
+        g = np.zeros(n_genres, np.float32)
+        g[: len(genres[i])] = genres[i]
+        feat[mid] = np.concatenate(
+            [_hash_embedding(titles[i]), [(years[i] - 1950.0) / 100.0], g]
+        )
+    return feat
+
+
 def _read_or_generate(name: str, seed: int):
     path = os.path.join(data_root(), name, "u.data")
     if os.path.exists(path):
@@ -130,10 +212,18 @@ def load_movielens(
     valid = pack(splits["valid"], splits["train"])
     test = pack(splits["test"], np.concatenate([splits["train"], splits["valid"]]))
 
-    # features: real pipeline uses demographics + GloVe title embeddings
-    # (data.py:415-537); synthetic stand-ins keep the dims
-    user_feat = rng.standard_normal((n_u, 23)).astype(np.float32)
-    movie_feat = rng.standard_normal((n_m, 320)).astype(np.float32)
+    # features: demographics + title embeddings parsed from u.user/u.item
+    # when present (reference semantics, data.py:415-537); random stand-ins
+    # with the real dims otherwise
+    user_feat = movie_feat = None
+    if not synth:
+        ml_dir = os.path.join(data_root(), name)
+        user_feat = _load_user_features(ml_dir, n_u)
+        movie_feat = _load_movie_features(ml_dir, n_m)
+    if user_feat is None:
+        user_feat = rng.standard_normal((n_u, 23)).astype(np.float32)
+    if movie_feat is None:
+        movie_feat = rng.standard_normal((n_m, 320)).astype(np.float32)
 
     return MovieLensData(
         rating_vals=rating_vals,
