@@ -59,6 +59,12 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
+    parser.add_argument("--lane-kernel", action="store_true",
+                        help="locality-relabel the graph and attach full-coverage "
+                             "Pallas lane plans; GATConv then fuses the whole "
+                             "logit/softmax/dropout/aggregate pipeline into one "
+                             "kernel pass per direction (auto-fallback to the "
+                             "XLA path when the plan expands too much)")
     args = parser.parse_args()
     cfg = DATASET_CFG[args.dataset]
     for flag, key in [("lr", "lr"), ("weight_decay", "wd"), ("num_hidden", "hidden"),
@@ -75,11 +81,34 @@ def main():
     src, dst = data.src, data.dst
     if cfg["bidirect"]:
         src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    features, labels = data.features, data.labels
+    mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
+    if args.lane_kernel:
+        # locality relabeling maximizes the lane plan's tile density
+        from dgl_tpu.graph.partition import partition_assignment
+
+        part = partition_assignment(src, dst, data.num_nodes,
+                                    max(data.num_nodes // 1024, 2), seed=args.seed)
+        order = np.argsort(part, kind="stable")
+        new_id = np.empty(data.num_nodes, np.int64)
+        new_id[order] = np.arange(data.num_nodes)
+        src, dst = new_id[src], new_id[dst]
+        features = features[order]
+        labels = labels[order]
+        mask_arrays = {k: v[order] for k, v in mask_arrays.items()}
     src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
     g = dgl_tpu.from_edges(src, dst, data.num_nodes)
-    x = jnp.asarray(data.features)
-    y = jnp.asarray(data.labels)
-    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+    if args.lane_kernel:
+        from dgl_tpu.kernels import attach_lane_plans
+
+        # full coverage (dense_threshold=1) is required by the fused
+        # attention kernel; self-loops keep the block-diagonal locality
+        g = attach_lane_plans(g, dense_threshold=1, max_expansion=3.0)
+        if g.lane is None:
+            print("lane kernel: graph tiles too sparsely — using the XLA path")
+    x = jnp.asarray(features)
+    y = jnp.asarray(labels)
+    masks = {k: jnp.asarray(v) for k, v in mask_arrays.items()}
 
     model = GAT(
         hidden_feats=cfg["hidden"],

@@ -45,10 +45,11 @@ class LaneAttachment:
 
 
 def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
-                compute_dtype=None) -> Optional[LaneAttachment]:
+                compute_dtype=None, eid: Optional[np.ndarray] = None
+                ) -> Optional[LaneAttachment]:
     src, dst = g.edges_numpy()
     plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
-                      dense_threshold=dense_threshold)
+                      dense_threshold=dense_threshold, eid=eid)
     rem_frac = len(plan.rem_src) / max(g.num_edges, 1)
     print(
         f"[dgl_tpu.kernels] lane plan: expansion={plan.expansion:.2f} "
@@ -82,6 +83,12 @@ def attach_lane_plans(
         return g
     rev = g.reverse
     if rev is not None:
-        rev_att = _attach_one(rev, dense_threshold, max_expansion, compute_dtype)
+        # the reverse plan's eid slots carry FORWARD-canonical edge ids
+        # (rev.eid maps reverse-canonical → forward-canonical) so that
+        # plan-layout edge data — attention dropout masks, u_mul_e weights —
+        # refers to the same edge in both layouts
+        rev_eid = np.asarray(rev.eid)[: rev.num_edges]
+        rev_att = _attach_one(rev, dense_threshold, max_expansion,
+                              compute_dtype, eid=rev_eid)
         rev = dataclasses.replace(rev, lane=rev_att)
     return dataclasses.replace(g, lane=fwd, reverse=rev)

@@ -1,0 +1,377 @@
+"""Fused GAT attention over the lane-plan layout.
+
+The reference's GAT stack is three edge-wise kernel passes per layer —
+SDDMM logits, edge-softmax, weighted SpMM (``main_pyg_arxiv_gat.py:98-111``,
+DGL ``edge_softmax``) — each of which costs an E-length row gather/scatter
+on TPU (~87M rows/s, the per-row wall). This module fuses the WHOLE
+attention pipeline (logit, softmax, dropout, weighted aggregation, and the
+full backward) into three lane-plan passes that never materialize an
+E-length tensor:
+
+* **forward** (1 pass over the forward plan): per-slot
+  ``p = exp(leaky_relu(el[src] + er[dst]) - U[dst])`` and one one-hot MXU
+  matmul accumulating ``[Σ m·p·v ; Σ p]`` — numerator and softmax
+  denominator together; normalization is an N-wide epilogue.
+* **backward** (1 forward-plan + 1 reverse-plan pass) using three
+  identities that collapse every per-edge quantity to weighted
+  aggregations + N-wide math:
+  - softmax max-shift: ``U[d] = leaky_relu(max(el) + er[d])`` is a valid
+    per-dst upper bound because leaky_relu is monotone; softmax is
+    invariant to the shift, and clamping the exponent at 0 (exact for real
+    edges, which satisfy ``z ≤ U``) keeps padded slots finite.
+  - Jacobian correction: ``C[d] = Σ_e α_e m_e (v[s]·g[d]) = g[d]·out[d]``
+    — no edge pass needed.
+  - ``grad_er[d] = g[d]·w1[d] − C[d]·w1s[d]`` with
+    ``w1 = Σ α m s v``, ``w1s = Σ α s`` (forward-plan aggregation), and
+    ``grad_el[s] = v[s]·w2[s] − w3[s]``, ``grad_v[s] = Σ m α g[d]`` with
+    ``w2 = Σ m α s g``, ``w3 = Σ α s C[d]`` (reverse-plan aggregation),
+    where ``s`` is the leaky-relu slope per edge.
+* **attention dropout** is a stateless per-edge hash of the canonical edge
+  id (murmur3 finalizer) — both plan layouts derive the identical mask
+  from their ``eid`` slot maps, so no E-length mask tensor or cross-layout
+  permutation exists.
+
+Heads run as a grid dimension (per-head feature slab resident in VMEM);
+requires plans with zero sparse-tile remainder (``dense_threshold=1``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lane_spmm import JG, RUNS_PER_CHUNK, SB, _VMEM_X_BUDGET, LanePlan
+
+__all__ = ["lane_gat_agg", "lane_attn_fits"]
+
+
+def _d_pad(d: int, itemsize: int) -> int:
+    if itemsize == 2:
+        return -(-d // 16) * 16 if d > 16 else d + (d % 2)
+    return -(-d // 8) * 8 if d > 8 else d
+
+
+def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype) -> bool:
+    """True when the fused path applies: full plan coverage (no XLA
+    remainder on either direction) and the per-head feature slab fits the
+    VMEM budget for all three passes."""
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    dk = _d_pad(dh, itemsize)
+    return (
+        len(plan.rem_src) == 0
+        and len(rplan.rem_src) == 0
+        and dk * plan.n_src_pad * itemsize <= _VMEM_X_BUDGET
+        and dk * rplan.n_src_pad * itemsize <= _VMEM_X_BUDGET
+    )
+
+
+def _hash_keep(eid_i32, seed_i32, keep: float):
+    """Stateless per-edge dropout: murmur3 fmix32 of (eid ^ seed) → keep
+    mask scaled by 1/keep. Reproduced by tests in numpy."""
+    x = (eid_i32 ^ seed_i32).astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(keep * float(1 << 24)), (1 << 24)))
+    return jnp.where((x & jnp.uint32(0xFFFFFF)) < thresh,
+                     jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+
+def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
+                 negative_slope: float, keep: float, bf16_pack: bool):
+    def kernel(group_ref, first_ref, seed_ref, bucket_ref, srclo_ref,
+               dstlo_ref, eid_ref, bs_ref, gs_ref, f_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(first_ref[t] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        def run_body(r, _):
+            b = bucket_ref[0, r // 128, r % 128]
+            start = pl.multiple_of(b * SB, SB)
+            fb = f_ref[0, :, pl.ds(start, SB)]  # (dk, 128)
+            slo = srclo_ref[0, r, :]
+            if bf16_pack:
+                xb32 = pltpu.bitcast(fb, jnp.float32)
+                idx = jnp.broadcast_to(slo[None, :], (dk // 2, SB))
+                msg = pltpu.bitcast(jnp.take_along_axis(xb32, idx, axis=1), fb.dtype)
+            else:
+                idx = jnp.broadcast_to(slo[None, :], (dk, SB))
+                msg = jnp.take_along_axis(fb, idx, axis=1)
+            bsw = bs_ref[0, :, pl.ds(start, SB)]  # (nb, 128)
+            bss = jnp.take_along_axis(
+                bsw, jnp.broadcast_to(slo[None, :], (nb, SB)), axis=1
+            )
+            dlo = dstlo_ref[0, r, :]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
+            ohb = dlo[:, None] == cols  # (128, JG); padded slots: all-false row
+            # group-side values per slot: one small MXU matmul reusing the
+            # one-hot (gs stored group-transposed (JG, ng))
+            gss = jnp.dot(ohb.astype(jnp.float32), gs_ref[0, :, :],
+                          preferred_element_type=jnp.float32)  # (128, ng)
+            raw = bss[0] + gss[:, 0]
+            z = jnp.where(raw > 0, raw, negative_slope * raw)
+            if keep < 1.0:
+                m = _hash_keep(eid_ref[0, r, :], seed_ref[0], keep)
+            else:
+                m = None
+            if pass_kind == "fwd":
+                # exponent clamp: exact for real edges (z <= U by the bound),
+                # keeps garbage-gathered padded slots finite (NaN-safe 0*inf)
+                p = jnp.exp(jnp.minimum(z - gss[:, 1], 0.0))
+                w_main = p if m is None else p * m
+                w_extra = p
+            elif pass_kind == "b1":
+                p = jnp.exp(jnp.minimum(z - gss[:, 1], 0.0))
+                alpha = p * gss[:, 2]
+                slope = jnp.where(raw > 0, 1.0, negative_slope)
+                w_extra = alpha * slope
+                w_main = w_extra if m is None else w_extra * m
+            else:  # b2: bs = [a_dst, U, invS, C], gs = [a_src]
+                p = jnp.exp(jnp.minimum(z - bss[1], 0.0))
+                alpha = p * bss[2]
+                slope = jnp.where(raw > 0, 1.0, negative_slope)
+                w_v = alpha if m is None else alpha * m
+                w_2 = w_v * slope
+                w_extra = alpha * slope * bss[3]
+            cd = msg.dtype
+            if pass_kind == "b2":
+                aug = jnp.concatenate(
+                    [
+                        msg * w_v.astype(cd)[None, :],
+                        msg * w_2.astype(cd)[None, :],
+                        w_extra.astype(cd)[None, :],
+                        jnp.zeros((rows_pad - 2 * dk - 1, SB), cd),
+                    ],
+                    axis=0,
+                )
+            else:
+                aug = jnp.concatenate(
+                    [
+                        msg * w_main.astype(cd)[None, :],
+                        w_extra.astype(cd)[None, :],
+                        jnp.zeros((rows_pad - dk - 1, SB), cd),
+                    ],
+                    axis=0,
+                )
+            o_ref[0, 0] = o_ref[0, 0] + jnp.dot(
+                aug, ohb.astype(cd), preferred_element_type=jnp.float32
+            )
+            return 0
+
+        jax.lax.fori_loop(0, RUNS_PER_CHUNK, run_body, 0, unroll=RUNS_PER_CHUNK)
+
+    return kernel
+
+
+def _feature_major(x, h: int, dk: int, n_pad: int, dtype):
+    """(N, H, D) → (H, dk, n_pad) padded, compute dtype."""
+    n, _, d = x.shape
+    return (
+        jnp.zeros((h, dk, n_pad), dtype)
+        .at[:, :d, :n]
+        .set(jnp.transpose(x, (1, 2, 0)).astype(dtype))
+    )
+
+
+def _node_stack(arrs, n_pad: int):
+    """list of (N, H) f32 → (H, nb, n_pad) with nb padded to the f32
+    sublane count (8) — Mosaic's lane gather needs sublane-aligned
+    operands."""
+    h = arrs[0].shape[1]
+    out = jnp.zeros((h, 8, n_pad), jnp.float32)
+    for i, a in enumerate(arrs):
+        out = out.at[:, i, : a.shape[0]].set(a.T.astype(jnp.float32))
+    return out
+
+
+def _group_stack(arrs, n_pad: int):
+    """list of (N, H) f32 → (H, n_pad, len(arrs)) (group-transposed for the
+    in-kernel one-hot matmul)."""
+    h = arrs[0].shape[1]
+    out = jnp.zeros((h, n_pad, len(arrs)), jnp.float32)
+    for i, a in enumerate(arrs):
+        out = out.at[:, : a.shape[0], i].set(a.T.astype(jnp.float32))
+    return out
+
+
+def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
+               negative_slope: float, keep: float, interpret: bool):
+    h = f.shape[0]
+    nb, ng = bs.shape[1], gs.shape[2]
+    n_rows = 2 * dk + 1 if pass_kind == "b2" else dk + 1
+    rows_pad = -(-n_rows // 8) * 8
+    bf16_pack = jnp.dtype(f.dtype).itemsize == 2
+
+    grid = (h, plan.num_chunks)
+    in_specs = [
+        pl.BlockSpec((1, 8, 128), lambda hh, t, g_, f_, s_: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb, plan.n_src_pad), lambda hh, t, g_, f_, s_: (hh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, JG, ng), lambda hh, t, g_, f_, s_: (hh, g_[t], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dk, plan.n_src_pad), lambda hh, t, g_, f_, s_: (hh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # group, first, seed
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_pad, JG), lambda hh, t, g_, f_, s_: (hh, g_[t], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _make_kernel(pass_kind, nb, ng, dk, rows_pad, negative_slope, keep,
+                     bf16_pack),
+        out_shape=jax.ShapeDtypeStruct(
+            (h, plan.num_groups, rows_pad, JG), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(plan.group, plan.first, seed, plan.bucket, plan.src_lo, plan.dst_lo,
+      plan.eid, bs, gs, f)
+    # (H, G, rows, JG) → (G*JG, H, rows)
+    return jnp.transpose(out, (1, 3, 0, 2)).reshape(
+        plan.n_dst_pad, h, rows_pad
+    )
+
+
+def _upper_bound(a_src, a_dst, negative_slope: float):
+    """Per-dst softmax shift: valid upper bound on every edge logit because
+    leaky_relu is monotone. Softmax output is invariant to it, so it is a
+    stop-gradient constant."""
+    max_a = jax.lax.stop_gradient(jnp.max(a_src, axis=0))
+    raw = a_dst + max_a[None, :]
+    return jnp.where(raw > 0, raw, negative_slope * raw)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _lane_gat(num_dst, negative_slope, keep, cd, interpret, num_src,
+              fplan, rplan, v, a_src, a_dst, seed):
+    out, _ = _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret,
+                           num_src, fplan, rplan, v, a_src, a_dst, seed)
+    return out
+
+
+def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
+                  fplan, rplan, v, a_src, a_dst, seed):
+    h, dh = v.shape[1], v.shape[2]
+    dk = _d_pad(dh, jnp.dtype(cd).itemsize)
+    u = _upper_bound(a_src, a_dst, negative_slope)
+    res = _attn_pass(
+        "fwd", fplan,
+        _feature_major(v, h, dk, fplan.n_src_pad, cd),
+        _node_stack([a_src], fplan.n_src_pad),
+        _group_stack([a_dst, u], fplan.n_dst_pad),
+        seed, dk=dk, negative_slope=negative_slope, keep=keep,
+        interpret=interpret,
+    )
+    num = res[:num_dst, :, :dh]
+    s = res[:num_dst, :, dk]
+    out = jnp.where(s[:, :, None] > 0, num / jnp.where(s, s, 1.0)[:, :, None], 0.0)
+    return out, (fplan, rplan, v, a_src, a_dst, u, s, out, seed)
+
+
+def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
+                  res, g):
+    fplan, rplan, v, a_src, a_dst, u, s, out, seed = res
+    h, dh = v.shape[1], v.shape[2]
+    dk = _d_pad(dh, jnp.dtype(cd).itemsize)
+    g = g.astype(jnp.float32)
+    inv_s = jnp.where(s > 0, 1.0 / jnp.where(s, s, 1.0), 0.0)  # (num_dst, H)
+    c = jnp.sum(g * out, axis=2)  # (num_dst, H)
+
+    b1 = _attn_pass(
+        "b1", fplan,
+        _feature_major(v, h, dk, fplan.n_src_pad, cd),
+        _node_stack([a_src], fplan.n_src_pad),
+        _group_stack([a_dst, u, inv_s], fplan.n_dst_pad),
+        seed, dk=dk, negative_slope=negative_slope, keep=keep,
+        interpret=interpret,
+    )
+    w1 = b1[:num_dst, :, :dh]
+    w1s = b1[:num_dst, :, dk]
+    grad_a_dst = jnp.sum(g * w1, axis=2) - c * w1s
+
+    b2 = _attn_pass(
+        "b2", rplan,
+        _feature_major(g, h, dk, rplan.n_src_pad, cd),
+        _node_stack([a_dst, u, inv_s, c], rplan.n_src_pad),
+        _group_stack([a_src], rplan.n_dst_pad),
+        seed, dk=dk, negative_slope=negative_slope, keep=keep,
+        interpret=interpret,
+    )
+    grad_v = b2[:num_src, :, :dh]
+    w2 = b2[:num_src, :, dk : dk + dh]
+    w3 = b2[:num_src, :, 2 * dk]
+    grad_a_src = jnp.sum(v.astype(jnp.float32) * w2, axis=2) - w3
+
+    f0 = lambda t: jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0)
+        if jnp.issubdtype(leaf.dtype, jnp.integer) or jnp.issubdtype(leaf.dtype, jnp.bool_)
+        else jnp.zeros(leaf.shape, leaf.dtype),
+        t,
+    )
+    return (
+        f0(fplan), f0(rplan), grad_v.astype(v.dtype),
+        grad_a_src.astype(a_src.dtype), grad_a_dst.astype(a_dst.dtype),
+        np.zeros((), jax.dtypes.float0),
+    )
+
+
+_lane_gat.defvjp(_lane_gat_fwd, _lane_gat_bwd)
+
+
+def lane_gat_agg(
+    fplan: LanePlan,
+    rplan: LanePlan,
+    v: jnp.ndarray,       # (N_src, H, D) values (projected features)
+    a_src: jnp.ndarray,   # (N_src, H) f32 — source attention coefficient
+    a_dst: jnp.ndarray,   # (N_dst, H) f32 — destination attention coefficient
+    num_dst: int,
+    *,
+    negative_slope: float = 0.2,
+    attn_keep: float = 1.0,
+    seed=None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused edge-softmax attention aggregation:
+    ``out[d] = Σ_{e:dst=d} dropout(softmax_d(leaky_relu(a_src[s]+a_dst[d])))
+    · v[s]`` returned as (num_dst, H, D) f32. Zero-in-degree rows are 0
+    (DGL semantics). ``rplan`` must carry forward-canonical eids
+    (``attach_lane_plans`` does this) so dropout masks agree across the
+    two layouts."""
+    if len(fplan.rem_src) or len(rplan.rem_src):
+        raise ValueError(
+            "lane_gat_agg requires full-coverage plans (dense_threshold=1); "
+            f"got remainders {len(fplan.rem_src)}/{len(rplan.rem_src)}"
+        )
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _lane_gat(
+        num_dst, float(negative_slope), float(attn_keep), compute_dtype,
+        interpret, v.shape[0], fplan, rplan, v,
+        a_src.astype(jnp.float32), a_dst.astype(jnp.float32), seed,
+    )

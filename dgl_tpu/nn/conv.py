@@ -141,6 +141,14 @@ class GATConv(nn.Module):
 
         att_l = self.param("attn_l", xavier_uniform(), (1, H, D))
         att_r = self.param("attn_r", xavier_uniform(), (1, H, D))
+
+        lane_out = self._lane_attention(
+            g, z_src, z_dst, att_l, att_r, deterministic
+        )
+        if lane_out is not None:
+            out = lane_out
+            return self._epilogue(g, out, x_dst, H, D)
+
         # Single shared src gather for the whole layer (row gathers are
         # per-row-bound on TPU, so the attention half er[src] is computed
         # from the SAME gathered rows used for aggregation — one row-op
@@ -161,7 +169,47 @@ class GATConv(nn.Module):
             alpha = alpha.astype(self.edge_dtype)
         msg = z_e * alpha[..., None]  # (E, H, D); padded rows are exactly 0
         out = gspmm(g, "copy_e", "sum", e=msg)  # sorted reduction (N_dst, H, D)
+        return self._epilogue(g, out, x_dst, H, D)
 
+    def _lane_attention(self, g, z_src, z_dst, att_l, att_r, deterministic):
+        """Fused lane-plan attention (TPU): the whole logit → edge-softmax →
+        dropout → weighted-aggregation pipeline in one Pallas pass per
+        direction (``kernels/lane_attention.py``), replacing the three
+        E-length gather/scatter passes. Dispatches when full-coverage lane
+        plans are attached and the per-head slab fits VMEM."""
+        import os
+
+        from ..kernels.lane_attention import lane_attn_fits, lane_gat_agg
+
+        interp = bool(os.environ.get("DGL_TPU_LANE_INTERPRET"))
+        if (
+            g.lane is None
+            or g.lane.remainder is not None
+            or g.reverse is None
+            or g.reverse.lane is None
+            or g.reverse.lane.remainder is not None
+            or os.environ.get("DGL_TPU_NO_LANE")
+            or not (jax.default_backend() == "tpu" or interp)
+        ):
+            return None
+        cd = g.lane.compute_dtype if g.lane.compute_dtype is not None else jnp.bfloat16
+        if not lane_attn_fits(g.lane.plan, g.reverse.lane.plan, self.out_feats, cd):
+            return None
+        a_src = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
+        a_dst = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
+        keep, seed = 1.0, None
+        if self.attn_drop > 0.0 and not deterministic:
+            keep = 1.0 - self.attn_drop
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, dtype=jnp.int32
+            )
+        return lane_gat_agg(
+            g.lane.plan, g.reverse.lane.plan, z_src, a_src, a_dst,
+            g.num_dst_nodes, negative_slope=self.negative_slope,
+            attn_keep=keep, seed=seed, compute_dtype=cd, interpret=interp,
+        )
+
+    def _epilogue(self, g, out, x_dst, H, D):
         if self.residual:
             if x_dst.shape[-1] == H * D:
                 res = x_dst.reshape(-1, H, D)

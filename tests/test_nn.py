@@ -321,3 +321,35 @@ def test_rel_graph_conv_math(rng):
         acc += agg @ Wr[r]
     ref = acc + x @ Ws + bs
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_gat_conv_lane_path_matches_xla_path(rng, monkeypatch):
+    """The fused lane-attention path (kernels/lane_attention.py) must produce
+    the same outputs and parameter gradients as the gather/edge_softmax
+    path, through the full GATConv module."""
+    import dgl_tpu
+    from dgl_tpu.kernels import attach_lane_plans
+
+    n, e, H, D = 130, 2000, 2, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g_plain = dgl_tpu.from_edges(src, dst, n)
+    g_lane = attach_lane_plans(
+        dgl_tpu.from_edges(src, dst, n),
+        dense_threshold=1, max_expansion=1e9, compute_dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    conv = GATConv(D, num_heads=H)
+    params = conv.init(jax.random.PRNGKey(0), g_plain, x)
+
+    def loss(p, g):
+        return jnp.sum(conv.apply(p, g, x) ** 2)
+
+    l_plain, g_plain_grads = jax.value_and_grad(loss)(params, g_plain)
+    monkeypatch.setenv("DGL_TPU_LANE_INTERPRET", "1")
+    l_lane, g_lane_grads = jax.value_and_grad(loss)(params, g_lane)
+    np.testing.assert_allclose(float(l_lane), float(l_plain), rtol=1e-4)
+    flat_a = jax.tree_util.tree_leaves(g_plain_grads)
+    flat_b = jax.tree_util.tree_leaves(g_lane_grads)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
