@@ -42,6 +42,113 @@ DATASET_CFG = {
 }
 
 
+def run_sharded(args, cfg, data):
+    """Edge-partitioned full-graph training: nodes relabeled into contiguous
+    locality blocks (one per device), boundary-halo all_to_all per layer
+    (``dgl_tpu.parallel.halo``). This is the path that deletes the
+    reference's full-graph OOM rows (``README.md:43,46``) — memory per
+    device is N/k rows + the boundary halo."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dgl_tpu.graph.partition import partition_assignment
+    from dgl_tpu.parallel import (
+        device_mesh,
+        exchange_stats,
+        halo_sage_apply,
+        halo_sage_init,
+        make_halo_train_step,
+        shard_fullgraph_boundary,
+    )
+
+    k = args.shard if args.shard > 0 else len(jax.devices())
+    src, dst = data.src, data.dst
+    if cfg["bidirect"]:
+        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+
+    # locality relabel → contiguous per-device ranges with small boundaries
+    part = partition_assignment(src, dst, data.num_nodes, k, seed=args.seed)
+    order = np.argsort(part, kind="stable")
+    new_id = np.empty(data.num_nodes, np.int64)
+    new_id[order] = np.arange(data.num_nodes)
+    src, dst = new_id[src], new_id[dst]
+
+    t0 = time.time()
+    bs, n_pad = shard_fullgraph_boundary(src, dst, data.num_nodes, k)
+    stats = exchange_stats(bs, cfg["hidden"])
+    print(
+        "shard plan: k={} nodes/shard={} H={} volume_ratio={:.3f} build_s={:.1f}".format(
+            k, bs.nodes_per_shard, bs.rows_per_pair, stats["volume_ratio"],
+            time.time() - t0,
+        )
+    )
+
+    mesh = device_mesh((1, k), ("data", "graph"), devices=jax.devices()[:k])
+    row = NamedSharding(mesh, P("graph"))
+    rep = NamedSharding(mesh, P())
+
+    def pad_rows(a, fill=0):
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[: data.num_nodes] = a[order]
+        return out
+
+    x = jax.device_put(jnp.asarray(pad_rows(data.features)), row)
+    y = jax.device_put(jnp.asarray(pad_rows(data.labels)), row)
+    masks = {
+        m: jax.device_put(jnp.asarray(pad_rows(getattr(data, f"{m}_mask"))), row)
+        for m in ("train", "val", "test")
+    }
+    bs = jax.device_put(bs, jax.tree_util.tree_map(lambda _: row, bs))
+
+    tx = adam_l2(cfg["lr"], cfg["wd"])
+    train_step = make_halo_train_step(mesh, tx, aggr=args.aggr,
+                                      dropout=cfg["dropout"])
+
+    @jax.jit
+    def eval_step(params, bs, x, y, masks):
+        logits = halo_sage_apply(params, bs, x, mesh, aggr=args.aggr)
+        pred = jnp.argmax(logits, axis=1)
+        out = []
+        for m in ("train", "val", "test"):
+            mm = masks[m].astype(jnp.float32)
+            out.append(jnp.sum((pred == y) * mm) / jnp.maximum(jnp.sum(mm), 1.0))
+        return tuple(out)
+
+    logger = Logger(args.runs)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        key, init_key = jax.random.split(key)
+        params = jax.device_put(
+            halo_sage_init(init_key, data.features.shape[1], cfg["hidden"],
+                           data.num_classes, cfg["layers"]),
+            rep,
+        )
+        opt_state = jax.device_put(tx.init(params), rep)
+        for epoch in range(cfg["epochs"]):
+            key, sub = jax.random.split(key)
+            if epoch >= 3:
+                t0 = time.time()
+            params, opt_state, loss = train_step(params, opt_state, sub, bs,
+                                                 x, y, masks["train"])
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if args.eval:
+                accs = tuple(map(float, eval_step(params, bs, x, y, masks)))
+                logger.add_result(run, accs)
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss, *accs
+                    )
+                )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
 def main():
     parser = argparse.ArgumentParser(description="GraphSAGE (dgl_tpu)")
     parser.add_argument("--dataset", type=str, default="cora", choices=sorted(DATASET_CFG))
@@ -76,6 +183,11 @@ def main():
                              "neighbor aggregation out of the step")
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
+    parser.add_argument("--shard", type=int, default=0,
+                        help="edge-partitioned full-graph training over an "
+                             "N-device 'graph' mesh (boundary-halo all_to_all "
+                             "per layer; removes the reference's OOM rows). "
+                             "0 = off, -1 = all visible devices")
     args = parser.parse_args()
     cfg = DATASET_CFG[args.dataset]
     for flag, key in [("dropout", "dropout"), ("lr", "lr"), ("epochs", "epochs"),
@@ -88,6 +200,10 @@ def main():
 
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
     print_data_stats(data)
+
+    if args.shard:
+        run_sharded(args, cfg, data)
+        return
 
     src, dst = data.src, data.dst
     if cfg["bidirect"]:

@@ -14,6 +14,12 @@ from .halo import (
     shard_fullgraph_boundary,
     halo_spmm_boundary,
 )
+from .halo_train import (
+    halo_sage_init,
+    halo_sage_apply,
+    make_halo_train_step,
+    exchange_stats,
+)
 from .dp import stack_minibatches, make_dp_train_step
 
 __all__ = [
@@ -29,6 +35,10 @@ __all__ = [
     "BoundarySharded",
     "shard_fullgraph_boundary",
     "halo_spmm_boundary",
+    "halo_sage_init",
+    "halo_sage_apply",
+    "make_halo_train_step",
+    "exchange_stats",
     "stack_minibatches",
     "make_dp_train_step",
 ]

@@ -154,18 +154,26 @@ class BoundarySharded:
     Instead of all-gathering the full feature matrix, each device requests
     exactly the source rows it needs: host-precomputed send tables drive an
     ``all_to_all`` of (k, H, D) row blocks (H = max rows any pair
-    exchanges), and edge sources are pre-remapped into the received table.
+    exchanges). Edges are split host-side into **local** (src owned by the
+    same shard — their messages read the device's own feature slice and are
+    completely independent of the collective, so XLA's async-collective
+    scheduler overlaps them with the exchange) and **halo** (src remapped
+    into the received table).
 
-    src_remap: (k, E_sh) int32 — per-shard edge sources as indices into
-               [own rows | received rows] (own-local id, or
-               nps + owner·H + slot); sentinel = last slot on pads.
-    indptr:    (k, nps+1) int32 — local dst offsets (as ShardedGraph).
-    send_tab:  (k, k, H) int32 — send_tab[o, s] = owner-local row indices o
-               ships to s (padding 0 → harmless duplicate rows).
+    local_src:   (k, E_loc) int32 — owner-local src rows of local edges,
+                 dst-sorted per ``local_indptr``.
+    local_indptr:(k, nps+1) int32 — per-dst offsets of local edges.
+    halo_remap:  (k, E_halo) int32 — halo-edge sources as indices into the
+                 received (k·H)-row table; dst-sorted per ``halo_indptr``.
+    halo_indptr: (k, nps+1) int32 — per-dst offsets of halo edges.
+    send_tab:    (k, k, H) int32 — send_tab[o, s] = owner-local row indices
+                 o ships to s (padding 0 → harmless duplicate rows).
     """
 
-    src_remap: jnp.ndarray
-    indptr: jnp.ndarray
+    local_src: jnp.ndarray
+    local_indptr: jnp.ndarray
+    halo_remap: jnp.ndarray
+    halo_indptr: jnp.ndarray
     send_tab: jnp.ndarray
     num_nodes: int
     nodes_per_shard: int
@@ -173,9 +181,10 @@ class BoundarySharded:
     rows_per_pair: int
 
     def tree_flatten(self):
-        return (self.src_remap, self.indptr, self.send_tab), (
-            self.num_nodes, self.nodes_per_shard, self.num_shards, self.rows_per_pair
-        )
+        return (
+            self.local_src, self.local_indptr, self.halo_remap,
+            self.halo_indptr, self.send_tab,
+        ), (self.num_nodes, self.nodes_per_shard, self.num_shards, self.rows_per_pair)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -193,52 +202,57 @@ def shard_fullgraph_boundary(
     nps = pad_length(-(-num_nodes // k), 8)
     n_pad = nps * k
     shard_of = dst // nps
+    src_shard = src // nps
 
-    per_src = []
-    per_indptr = []
+    per_local_src, per_local_indptr = [], []
+    per_halo_src, per_halo_indptr = [], []
     needed = []  # list of (k,) lists of owner-local requested rows
     for s_i in range(k):
         m = shard_of == s_i
-        d_local = dst[m] - s_i * nps
-        indptr, src_sorted, _ = native.build_csr(
-            np.asarray(d_local, np.int64), np.asarray(src[m], np.int64), nps
+        loc = m & (src_shard == s_i)
+        hal = m & (src_shard != s_i)
+        lp, ls, _ = native.build_csr(
+            np.asarray(dst[loc] - s_i * nps, np.int64),
+            np.asarray(src[loc] - s_i * nps, np.int64), nps,
         )
-        per_src.append(src_sorted)
-        per_indptr.append(indptr)
-        uniq = np.unique(src_sorted) if len(src_sorted) else np.zeros(0, np.int64)
+        hp, hs, _ = native.build_csr(
+            np.asarray(dst[hal] - s_i * nps, np.int64),
+            np.asarray(src[hal], np.int64), nps,
+        )
+        per_local_src.append(ls)
+        per_local_indptr.append(lp)
+        per_halo_src.append(hs)
+        per_halo_indptr.append(hp)
+        uniq = np.unique(hs) if len(hs) else np.zeros(0, np.int64)
         owners = uniq // nps
-        # own-shard rows are read directly from the local slice (keeps them
-        # out of the all_to_all AND makes the local-edge computation
-        # independent of the collective, so XLA can overlap them)
-        needed.append(
-            [uniq[(owners == o) & (o != s_i)] - o * nps for o in range(k)]
-        )
+        needed.append([uniq[owners == o] - o * nps for o in range(k)])
 
-    H = max(
-        (len(lst) for req in needed for lst in req), default=1
-    )
+    H = max((len(lst) for req in needed for lst in req), default=1)
     H = max(H, 1)
-    e_pad = pad_length(max((len(s) for s in per_src), default=1))
+    e_loc = pad_length(max((len(s) for s in per_local_src), default=1))
+    e_hal = pad_length(max((len(s) for s in per_halo_src), default=1))
 
     send_tab = np.zeros((k, k, H), dtype=np.int32)
-    src_remap = np.full((k, e_pad), nps + k * H - 1, dtype=np.int32)
-    indptr_s = np.zeros((k, nps + 1), dtype=np.int32)
-    lookup = np.zeros(num_nodes + nps * k, dtype=np.int64)
+    local_src = np.zeros((k, e_loc), dtype=np.int32)
+    halo_remap = np.full((k, e_hal), k * H - 1, dtype=np.int32)
+    local_indptr = np.zeros((k, nps + 1), dtype=np.int32)
+    halo_indptr = np.zeros((k, nps + 1), dtype=np.int32)
+    lookup = np.zeros(nps * k, dtype=np.int64)
     for s_i in range(k):
-        # table layout: [own rows (nps) | recv (k*H)]
-        own = np.arange(nps, dtype=np.int64)
-        lookup[s_i * nps + own] = own
         for o in range(k):
             rows = needed[s_i][o]
             send_tab[o, s_i, : len(rows)] = rows
-            lookup[o * nps + rows] = nps + o * H + np.arange(len(rows))
-        sl = per_src[s_i]
-        src_remap[s_i, : len(sl)] = lookup[sl]
-        indptr_s[s_i] = per_indptr[s_i]
+            lookup[o * nps + rows] = o * H + np.arange(len(rows))
+        local_src[s_i, : len(per_local_src[s_i])] = per_local_src[s_i]
+        local_indptr[s_i] = per_local_indptr[s_i]
+        halo_remap[s_i, : len(per_halo_src[s_i])] = lookup[per_halo_src[s_i]]
+        halo_indptr[s_i] = per_halo_indptr[s_i]
     return (
         BoundarySharded(
-            src_remap=jnp.asarray(src_remap),
-            indptr=jnp.asarray(indptr_s),
+            local_src=jnp.asarray(local_src),
+            local_indptr=jnp.asarray(local_indptr),
+            halo_remap=jnp.asarray(halo_remap),
+            halo_indptr=jnp.asarray(halo_indptr),
             send_tab=jnp.asarray(send_tab),
             num_nodes=num_nodes,
             nodes_per_shard=nps,
@@ -257,35 +271,35 @@ def halo_spmm_boundary(
     reduce: str = "mean",
 ) -> jnp.ndarray:
     """copy_u SpMM exchanging ONLY the requested boundary rows (all_to_all);
-    communication volume is k·H·D per device instead of the full matrix."""
+    communication volume is k·H·D per device instead of the full matrix.
+    Local-edge aggregation has no data dependence on the collective, so the
+    exchange overlaps with it."""
     H = bs.rows_per_pair
 
-    def local(remap_s, indptr_s, send_s, x_s):
-        remap_l = remap_s[0]
-        indptr_l = indptr_s[0]
+    def local(lsrc_s, lptr_s, hmap_s, hptr_s, send_s, x_s):
         send_l = send_s[0]  # (k, H) rows this device ships per destination
         payload = jnp.take(x_s, send_l.reshape(-1), axis=0).reshape(
             bs.num_shards, H, x_s.shape[1]
         )
         recv = jax.lax.all_to_all(payload, axis, split_axis=0, concat_axis=0, tiled=False)
-        # own rows first, then received halo — local-edge messages depend
-        # only on x_s, so XLA overlaps them with the collective
-        table = jnp.concatenate(
-            [x_s, recv.reshape(bs.num_shards * H, x_s.shape[1])], axis=0
-        )
-        msg = jnp.take(table, remap_l, axis=0)
         from ..ops.segment import segment_sum_sorted_scan
 
-        out = segment_sum_sorted_scan(msg, indptr_l)
+        # local edges: reads only x_s → scheduled concurrently with the
+        # all_to_all (async collective start/done)
+        out = segment_sum_sorted_scan(jnp.take(x_s, lsrc_s[0], axis=0), lptr_s[0])
+        halo_msg = jnp.take(
+            recv.reshape(bs.num_shards * H, x_s.shape[1]), hmap_s[0], axis=0
+        )
+        out = out + segment_sum_sorted_scan(halo_msg, hptr_s[0])
         if reduce == "mean":
-            deg = jnp.maximum(indptr_l[1:] - indptr_l[:-1], 1).astype(out.dtype)
-            out = out / deg[:, None]
+            deg = (lptr_s[0][1:] - lptr_s[0][:-1]) + (hptr_s[0][1:] - hptr_s[0][:-1])
+            out = out / jnp.maximum(deg, 1).astype(out.dtype)[:, None]
         return out
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
         check_rep=False,
-    )(bs.src_remap, bs.indptr, bs.send_tab, x)
+    )(bs.local_src, bs.local_indptr, bs.halo_remap, bs.halo_indptr, bs.send_tab, x)
