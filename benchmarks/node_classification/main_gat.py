@@ -101,9 +101,9 @@ def main():
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans
 
-        # full coverage (dense_threshold=1) is required by the fused
-        # attention kernel; self-loops keep the block-diagonal locality
-        g = attach_lane_plans(g, dense_threshold=1, max_expansion=3.0)
+        # dense tiles go through the fused kernel; the sparse-tile
+        # remainder runs as XLA hybrid terms under the same softmax
+        g = attach_lane_plans(g)
         if g.lane is None:
             print("lane kernel: graph tiles too sparsely — using the XLA path")
     x = jnp.asarray(features)

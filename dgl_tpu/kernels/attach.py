@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from ..graph.graph import Graph, from_edges
 from .lane_spmm import LanePlan, build_plan
@@ -35,13 +36,16 @@ class LaneAttachment:
     # VMEM-resident feature dtype for the kernel (None → bf16 default;
     # pass jnp.float32 to keep full precision at 2x the VMEM footprint)
     compute_dtype: Optional[object] = None
+    # canonical (forward-order) edge id per remainder-graph edge slot —
+    # the attention hybrid keys its dropout mask on these
+    rem_eid: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.plan, self.remainder), (self.compute_dtype,)
+        return (self.plan, self.remainder, self.rem_eid), (self.compute_dtype,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, *aux)
+        return cls(leaves[0], leaves[1], aux[0], leaves[2])
 
 
 def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
@@ -59,12 +63,21 @@ def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
     if plan.expansion > max_expansion:
         return None
     rem = None
+    rem_eid = None
     if len(plan.rem_src):
         rem = from_edges(
             plan.rem_src, plan.rem_dst, g.num_src_nodes, g.num_dst_nodes,
             build_reverse=False,
         )
-    return LaneAttachment(plan=plan, remainder=rem, compute_dtype=compute_dtype)
+        # canonical eids permuted into the remainder graph's dst-sorted
+        # edge order (rem.eid maps its slots back to rem input order)
+        pos = np.asarray(rem.eid)
+        arr = np.full(len(pos), 2**31 - 1, np.int32)
+        ok = pos < len(plan.rem_eid)
+        arr[ok] = plan.rem_eid[pos[ok]].astype(np.int32)
+        rem_eid = jnp.asarray(arr)
+    return LaneAttachment(plan=plan, remainder=rem,
+                          compute_dtype=compute_dtype, rem_eid=rem_eid)
 
 
 def attach_lane_plans(

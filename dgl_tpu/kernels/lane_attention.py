@@ -59,15 +59,14 @@ def _d_pad(d: int, itemsize: int) -> int:
 
 
 def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype) -> bool:
-    """True when the fused path applies: full plan coverage (no XLA
-    remainder on either direction) and the per-head feature slab fits the
-    VMEM budget for all three passes."""
+    """True when the fused path applies: the per-head feature slab fits the
+    VMEM budget for all three passes (sparse-tile remainders are fine — the
+    hybrid path serves them through XLA segment ops under the same softmax
+    normalization)."""
     itemsize = jnp.dtype(compute_dtype).itemsize
     dk = _d_pad(dh, itemsize)
     return (
-        len(plan.rem_src) == 0
-        and len(rplan.rem_src) == 0
-        and dk * plan.n_src_pad * itemsize <= _VMEM_X_BUDGET
+        dk * plan.n_src_pad * itemsize <= _VMEM_X_BUDGET
         and dk * rplan.n_src_pad * itemsize <= _VMEM_X_BUDGET
     )
 
@@ -88,8 +87,15 @@ def _hash_keep(eid_i32, seed_i32, keep: float):
 
 def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
                  negative_slope: float, keep: float, bf16_pack: bool):
-    def kernel(group_ref, first_ref, seed_ref, bucket_ref, srclo_ref,
-               dstlo_ref, eid_ref, bs_ref, gs_ref, f_ref, o_ref):
+    has_drop = keep < 1.0
+
+    def kernel(*refs):
+        if has_drop:
+            (group_ref, first_ref, seed_ref, bucket_ref, meta_ref, eid_ref,
+             bs_ref, gs_ref, f_ref, o_ref) = refs
+        else:
+            (group_ref, first_ref, seed_ref, bucket_ref, meta_ref,
+             bs_ref, gs_ref, f_ref, o_ref) = refs
         t = pl.program_id(1)
 
         @pl.when(first_ref[t] == 1)
@@ -100,7 +106,8 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
             b = bucket_ref[0, r // 128, r % 128]
             start = pl.multiple_of(b * SB, SB)
             fb = f_ref[0, :, pl.ds(start, SB)]  # (dk, 128)
-            slo = srclo_ref[0, r, :]
+            meta = meta_ref[0, r, :]  # packed src_lo | dst_lo<<7
+            slo = jnp.bitwise_and(meta, 127)
             if bf16_pack:
                 xb32 = pltpu.bitcast(fb, jnp.float32)
                 idx = jnp.broadcast_to(slo[None, :], (dk // 2, SB))
@@ -112,7 +119,7 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
             bss = jnp.take_along_axis(
                 bsw, jnp.broadcast_to(slo[None, :], (nb, SB)), axis=1
             )
-            dlo = dstlo_ref[0, r, :]
+            dlo = jax.lax.shift_right_logical(meta, 7)
             cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
             ohb = dlo[:, None] == cols  # (128, JG); padded slots: all-false row
             # group-side values per slot: one small MXU matmul reusing the
@@ -121,7 +128,7 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
                           preferred_element_type=jnp.float32)  # (128, ng)
             raw = bss[0] + gss[:, 0]
             z = jnp.where(raw > 0, raw, negative_slope * raw)
-            if keep < 1.0:
+            if has_drop:
                 m = _hash_keep(eid_ref[0, r, :], seed_ref[0], keep)
             else:
                 m = None
@@ -219,10 +226,17 @@ def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
+    ]
+    operands = [plan.bucket, plan.meta]
+    if keep < 1.0:
+        # the eid slot map streams only when dropout is active — it is a
+        # third of the per-slot metadata traffic
+        in_specs.append(
+            pl.BlockSpec((1, RUNS_PER_CHUNK, SB), lambda hh, t, g_, f_, s_: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(plan.eid)
+    in_specs += [
         pl.BlockSpec((1, nb, plan.n_src_pad), lambda hh, t, g_, f_, s_: (hh, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, JG, ng), lambda hh, t, g_, f_, s_: (hh, g_[t], 0),
@@ -247,8 +261,7 @@ def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(plan.group, plan.first, seed, plan.bucket, plan.src_lo, plan.dst_lo,
-      plan.eid, bs, gs, f)
+    )(plan.group, plan.first, seed, *operands, bs, gs, f)
     # (H, G, rows, JG) → (G*JG, H, rows)
     return jnp.transpose(out, (1, 3, 0, 2)).reshape(
         plan.n_dst_pad, h, rows_pad
@@ -264,16 +277,105 @@ def _upper_bound(a_src, a_dst, negative_slope: float):
     return jnp.where(raw > 0, raw, negative_slope * raw)
 
 
+def _rem_edge_common(rem, reid, side_src, side_dst, seed, keep: float,
+                     ns: float):
+    """Shared remainder-edge quantities. ``side_src``/``side_dst`` are
+    pre-concatenated node stacks gathered with ONE row gather per side (the
+    per-row wall makes gather count, not width, the cost)."""
+    from ..ops.gather import gather_dst, gather_src
+
+    se = gather_src(rem, side_src)
+    de = gather_dst(rem, side_dst)
+    if keep < 1.0:
+        m = _hash_keep(reid[: se.shape[0]], seed[0], keep)
+    else:
+        m = None
+    return se, de, m
+
+
+def _rem_fwd_terms(rem, reid, v, a_src, a_dst, u, seed, keep, ns):
+    """Remainder [Σ m·p·v ; Σ p] per dst — same math as the fwd lane pass."""
+    from ..ops.spmm import gspmm
+
+    h, dh = v.shape[1], v.shape[2]
+    sstack = jnp.concatenate(
+        [v.astype(jnp.float32).reshape(-1, h * dh), a_src], axis=1)
+    dstack = jnp.stack([a_dst, u], axis=-1).reshape(-1, h * 2)
+    se, de, m = _rem_edge_common(rem, reid, sstack, dstack, seed, keep, ns)
+    ve = se[:, : h * dh].reshape(-1, h, dh)
+    el = se[:, h * dh:]
+    de = de.reshape(-1, h, 2)
+    raw = el + de[..., 0]
+    z = jnp.where(raw > 0, raw, ns * raw)
+    p = jnp.exp(jnp.minimum(z - de[..., 1], 0.0))
+    pm = p if m is None else p * m[:, None]
+    packed = jnp.concatenate([pm[..., None] * ve, p[..., None]], axis=2)
+    agg = gspmm(rem, "copy_e", "sum", e=packed)  # one segment reduce
+    return agg[..., :dh], agg[..., dh]
+
+
+def _rem_b1_terms(rem, reid, v, a_src, a_dst, u, inv_s, seed, keep, ns):
+    """Remainder [Σ α·m·slope·v ; Σ α·slope] per dst (b1 lane pass)."""
+    from ..ops.spmm import gspmm
+
+    h, dh = v.shape[1], v.shape[2]
+    sstack = jnp.concatenate(
+        [v.astype(jnp.float32).reshape(-1, h * dh), a_src], axis=1)
+    dstack = jnp.stack([a_dst, u, inv_s], axis=-1).reshape(-1, h * 3)
+    se, de, m = _rem_edge_common(rem, reid, sstack, dstack, seed, keep, ns)
+    ve = se[:, : h * dh].reshape(-1, h, dh)
+    el = se[:, h * dh:]
+    de = de.reshape(-1, h, 3)
+    raw = el + de[..., 0]
+    z = jnp.where(raw > 0, raw, ns * raw)
+    alpha = jnp.exp(jnp.minimum(z - de[..., 1], 0.0)) * de[..., 2]
+    slope = jnp.where(raw > 0, 1.0, ns)
+    asl = alpha * slope
+    w_main = asl if m is None else asl * m[:, None]
+    packed = jnp.concatenate([w_main[..., None] * ve, asl[..., None]], axis=2)
+    agg = gspmm(rem, "copy_e", "sum", e=packed)
+    return agg[..., :dh], agg[..., dh]
+
+
+def _rem_b2_terms(remr, reid, g_out, a_src, a_dst, u, inv_s, c, seed, keep, ns):
+    """Remainder [Σ m·α·g ; Σ m·α·slope·g ; Σ α·slope·C] per ORIGINAL src —
+    ``remr`` is the reverse-orientation remainder graph (b2 lane pass)."""
+    from ..ops.spmm import gspmm
+
+    h, dh = g_out.shape[1], g_out.shape[2]
+    # src side of remr = original dst d
+    sstack = jnp.concatenate(
+        [g_out.reshape(-1, h * dh),
+         jnp.stack([a_dst, u, inv_s, c], axis=-1).reshape(-1, h * 4)], axis=1)
+    se, el, m = _rem_edge_common(remr, reid, sstack, a_src, seed, keep, ns)
+    ge = se[:, : h * dh].reshape(-1, h, dh)
+    dd = se[:, h * dh:].reshape(-1, h, 4)
+    raw = el + dd[..., 0]
+    z = jnp.where(raw > 0, raw, ns * raw)
+    alpha = jnp.exp(jnp.minimum(z - dd[..., 1], 0.0)) * dd[..., 2]
+    slope = jnp.where(raw > 0, 1.0, ns)
+    wv = alpha if m is None else alpha * m[:, None]
+    w2e = wv * slope
+    w3e = alpha * slope * dd[..., 3]
+    packed = jnp.concatenate(
+        [wv[..., None] * ge, w2e[..., None] * ge, w3e[..., None]], axis=2)
+    agg = gspmm(remr, "copy_e", "sum", e=packed)
+    return agg[..., :dh], agg[..., dh : 2 * dh], agg[..., 2 * dh]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _lane_gat(num_dst, negative_slope, keep, cd, interpret, num_src,
-              fplan, rplan, v, a_src, a_dst, seed):
+              fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
+              v, a_src, a_dst, seed):
     out, _ = _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret,
-                           num_src, fplan, rplan, v, a_src, a_dst, seed)
+                           num_src, fplan, rplan, rem_fwd, rem_feid,
+                           rem_rev, rem_reid, v, a_src, a_dst, seed)
     return out
 
 
 def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
-                  fplan, rplan, v, a_src, a_dst, seed):
+                  fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
+                  v, a_src, a_dst, seed):
     h, dh = v.shape[1], v.shape[2]
     dk = _d_pad(dh, jnp.dtype(cd).itemsize)
     u = _upper_bound(a_src, a_dst, negative_slope)
@@ -287,13 +389,20 @@ def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
     )
     num = res[:num_dst, :, :dh]
     s = res[:num_dst, :, dk]
+    if rem_fwd is not None:
+        rnum, rden = _rem_fwd_terms(rem_fwd, rem_feid, v, a_src, a_dst, u,
+                                    seed, keep, negative_slope)
+        num = num + rnum[:num_dst]
+        s = s + rden[:num_dst]
     out = jnp.where(s[:, :, None] > 0, num / jnp.where(s, s, 1.0)[:, :, None], 0.0)
-    return out, (fplan, rplan, v, a_src, a_dst, u, s, out, seed)
+    return out, (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
+                 v, a_src, a_dst, u, s, out, seed)
 
 
 def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
                   res, g):
-    fplan, rplan, v, a_src, a_dst, u, s, out, seed = res
+    (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
+     v, a_src, a_dst, u, s, out, seed) = res
     h, dh = v.shape[1], v.shape[2]
     dk = _d_pad(dh, jnp.dtype(cd).itemsize)
     g = g.astype(jnp.float32)
@@ -310,6 +419,11 @@ def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
     )
     w1 = b1[:num_dst, :, :dh]
     w1s = b1[:num_dst, :, dk]
+    if rem_fwd is not None:
+        rw1, rw1s = _rem_b1_terms(rem_fwd, rem_feid, v, a_src, a_dst, u,
+                                  inv_s, seed, keep, negative_slope)
+        w1 = w1 + rw1[:num_dst]
+        w1s = w1s + rw1s[:num_dst]
     grad_a_dst = jnp.sum(g * w1, axis=2) - c * w1s
 
     b2 = _attn_pass(
@@ -323,6 +437,12 @@ def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
     grad_v = b2[:num_src, :, :dh]
     w2 = b2[:num_src, :, dk : dk + dh]
     w3 = b2[:num_src, :, 2 * dk]
+    if rem_rev is not None:
+        rgv, rw2, rw3 = _rem_b2_terms(rem_rev, rem_reid, g, a_src, a_dst, u,
+                                      inv_s, c, seed, keep, negative_slope)
+        grad_v = grad_v + rgv[:num_src]
+        w2 = w2 + rw2[:num_src]
+        w3 = w3 + rw3[:num_src]
     grad_a_src = jnp.sum(v.astype(jnp.float32) * w2, axis=2) - w3
 
     f0 = lambda t: jax.tree_util.tree_map(
@@ -332,7 +452,8 @@ def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
         t,
     )
     return (
-        f0(fplan), f0(rplan), grad_v.astype(v.dtype),
+        f0(fplan), f0(rplan), f0(rem_fwd), f0(rem_feid), f0(rem_rev),
+        f0(rem_reid), grad_v.astype(v.dtype),
         grad_a_src.astype(a_src.dtype), grad_a_dst.astype(a_dst.dtype),
         np.zeros((), jax.dtypes.float0),
     )
@@ -349,6 +470,10 @@ def lane_gat_agg(
     a_dst: jnp.ndarray,   # (N_dst, H) f32 — destination attention coefficient
     num_dst: int,
     *,
+    rem_fwd=None,         # Graph of forward-plan remainder edges (src→dst)
+    rem_fwd_eid=None,     # (E_rem_pad,) canonical eids, rem_fwd edge order
+    rem_rev=None,         # Graph of reverse-plan remainder edges (dst→src)
+    rem_rev_eid=None,
     negative_slope: float = 0.2,
     attn_keep: float = 1.0,
     seed=None,
@@ -358,13 +483,23 @@ def lane_gat_agg(
     """Fused edge-softmax attention aggregation:
     ``out[d] = Σ_{e:dst=d} dropout(softmax_d(leaky_relu(a_src[s]+a_dst[d])))
     · v[s]`` returned as (num_dst, H, D) f32. Zero-in-degree rows are 0
-    (DGL semantics). ``rplan`` must carry forward-canonical eids
-    (``attach_lane_plans`` does this) so dropout masks agree across the
-    two layouts."""
-    if len(fplan.rem_src) or len(rplan.rem_src):
+    (DGL semantics).
+
+    Hybrid coverage: dense tiles run in the lane kernel; sparse-tile
+    remainder edges (``rem_fwd``/``rem_rev``, built by
+    ``attach_lane_plans``) run through XLA gathers + one segment reduce per
+    pass, summed into the SAME softmax numerator/denominator. ``rplan`` and
+    the eid arrays must carry forward-canonical ids so dropout masks agree
+    across layouts."""
+    if (len(fplan.rem_src) > 0) != (rem_fwd is not None):
         raise ValueError(
-            "lane_gat_agg requires full-coverage plans (dense_threshold=1); "
-            f"got remainders {len(fplan.rem_src)}/{len(rplan.rem_src)}"
+            "forward plan has a sparse-tile remainder: pass rem_fwd/rem_fwd_eid "
+            "(attach_lane_plans builds them) or use dense_threshold=1"
+        )
+    if (len(rplan.rem_src) > 0) != (rem_rev is not None):
+        raise ValueError(
+            "reverse plan has a sparse-tile remainder: pass rem_rev/rem_rev_eid "
+            "or use dense_threshold=1"
         )
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -372,6 +507,7 @@ def lane_gat_agg(
         seed = jnp.asarray(seed, jnp.int32).reshape((1,))
     return _lane_gat(
         num_dst, float(negative_slope), float(attn_keep), compute_dtype,
-        interpret, v.shape[0], fplan, rplan, v,
+        interpret, v.shape[0], fplan, rplan, rem_fwd, rem_fwd_eid,
+        rem_rev, rem_rev_eid, v,
         a_src.astype(jnp.float32), a_dst.astype(jnp.float32), seed,
     )

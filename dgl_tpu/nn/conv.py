@@ -175,8 +175,10 @@ class GATConv(nn.Module):
         """Fused lane-plan attention (TPU): the whole logit → edge-softmax →
         dropout → weighted-aggregation pipeline in one Pallas pass per
         direction (``kernels/lane_attention.py``), replacing the three
-        E-length gather/scatter passes. Dispatches when full-coverage lane
-        plans are attached and the per-head slab fits VMEM."""
+        E-length gather/scatter passes. Sparse-tile remainders run through
+        the XLA hybrid terms under the same softmax normalization.
+        Dispatches when lane plans are attached and the per-head slab fits
+        VMEM."""
         import os
 
         from ..kernels.lane_attention import lane_attn_fits, lane_gat_agg
@@ -184,10 +186,8 @@ class GATConv(nn.Module):
         interp = bool(os.environ.get("DGL_TPU_LANE_INTERPRET"))
         if (
             g.lane is None
-            or g.lane.remainder is not None
             or g.reverse is None
             or g.reverse.lane is None
-            or g.reverse.lane.remainder is not None
             or os.environ.get("DGL_TPU_NO_LANE")
             or not (jax.default_backend() == "tpu" or interp)
         ):
@@ -205,7 +205,10 @@ class GATConv(nn.Module):
             )
         return lane_gat_agg(
             g.lane.plan, g.reverse.lane.plan, z_src, a_src, a_dst,
-            g.num_dst_nodes, negative_slope=self.negative_slope,
+            g.num_dst_nodes,
+            rem_fwd=g.lane.remainder, rem_fwd_eid=g.lane.rem_eid,
+            rem_rev=g.reverse.lane.remainder, rem_rev_eid=g.reverse.lane.rem_eid,
+            negative_slope=self.negative_slope,
             attn_keep=keep, seed=seed, compute_dtype=cd, interpret=interp,
         )
 

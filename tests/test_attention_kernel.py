@@ -124,3 +124,53 @@ def test_lane_gat_bf16_close(rng):
     denom = np.abs(np.asarray(ref)).max() + 1e-6
     rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / denom
     assert rel < 0.05, f"bf16 rel err {rel}"
+
+
+@pytest.mark.parametrize("keep", [1.0, 0.7])
+def test_lane_gat_hybrid_remainder_matches_reference(rng, keep):
+    """Plans built with a high dense_threshold leave sparse-tile remainders;
+    the hybrid path (lane kernel + XLA remainder terms under one softmax)
+    must still match the dense reference for values AND gradients."""
+    n, h, d = 1500, 2, 8
+    # half the edges concentrate in one src bucket (dense tiles), half are
+    # uniform (sparse tiles -> remainder at this threshold)
+    src = np.concatenate([rng.integers(0, 128, 1500), rng.integers(0, n, 1500)])
+    dst = rng.integers(0, n, 3000)
+    g = attach_lane_plans(
+        dgl_tpu.from_edges(src, dst, n), dense_threshold=100, max_expansion=1e9
+    )
+    assert len(g.lane.plan.rem_src) > 0, "test graph must have a remainder"
+    assert len(g.reverse.lane.plan.rem_src) > 0
+    src_c, dst_c = g.edges_numpy()
+    v = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    seed = 13
+
+    def run_lane(v, a_s, a_d):
+        return lane_gat_agg(
+            g.lane.plan, g.reverse.lane.plan, v, a_s, a_d, n,
+            rem_fwd=g.lane.remainder, rem_fwd_eid=g.lane.rem_eid,
+            rem_rev=g.reverse.lane.remainder, rem_rev_eid=g.reverse.lane.rem_eid,
+            attn_keep=keep, seed=seed, compute_dtype=jnp.float32,
+            interpret=True,
+        )
+
+    out = run_lane(v, a_s, a_d)
+    ref = _ref_gat(src_c, dst_c, n, v, a_s, a_d, 0.2, keep, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+    tgt = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+    l1, grads1 = jax.value_and_grad(
+        lambda v, a, b: jnp.sum((run_lane(v, a, b) - tgt) ** 2), argnums=(0, 1, 2)
+    )(v, a_s, a_d)
+    l2, grads2 = jax.value_and_grad(
+        lambda v, a, b: jnp.sum((_ref_gat(src_c, dst_c, n, v, a, b, 0.2, keep, seed) - tgt) ** 2),
+        argnums=(0, 1, 2),
+    )(v, a_s, a_d)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for gl, gr, name in zip(grads1, grads2, ("v", "a_src", "a_dst")):
+        np.testing.assert_allclose(
+            np.asarray(gl), np.asarray(gr), rtol=5e-4, atol=5e-4,
+            err_msg=f"hybrid grad mismatch: {name}",
+        )
