@@ -53,6 +53,8 @@ def main():
     p.add_argument("--eval", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--part-method", type=str, default="metis",
+                   choices=["metis", "lp", "random"])
     args = p.parse_args()
     print(args)
 
@@ -73,7 +75,8 @@ def main():
         f"{args.dataset}_lp_s{args.scale}", src_tr, dst_tr, data.num_nodes,
         data.features, data.labels.reshape(len(data.labels), -1)[:, :1],
         np.ones(data.num_nodes, bool),
-        args.psize, args.batch_size, seed=args.seed, cache_dir=data_root(),
+        args.psize, args.batch_size, method=args.part_method,
+        seed=args.seed, cache_dir=data_root(),
         with_negatives=True,
     )
     g_full = dgl_tpu.from_edges(src_tr, dst_tr, data.num_nodes)

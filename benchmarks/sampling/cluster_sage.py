@@ -52,6 +52,11 @@ def main():
     p.add_argument("--eval", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--part-method", type=str, default="metis",
+                   choices=["metis", "lp", "random"],
+                   help="partitioner: 'metis' = native multilevel "
+                        "(heavy-edge coarsen + refine, the METIS recipe), "
+                        "'lp' = label propagation, 'random' = baseline")
     p.add_argument("--save-pred", type=str, default=None,
                    help="np.savetxt final predictions here (reference "
                         "cluster-sage/dgl/main.py:172-173)")
@@ -64,7 +69,8 @@ def main():
     cluster_iter = ClusterIter(
         f"{args.dataset}_s{args.scale}", data.src, data.dst, data.num_nodes,
         data.features, data.labels, data.train_mask,
-        args.psize, args.batch_size, seed=args.seed, cache_dir=data_root(),
+        args.psize, args.batch_size, method=args.part_method,
+        seed=args.seed, cache_dir=data_root(),
     )
     g_full = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
     x_full = jnp.asarray(data.features)

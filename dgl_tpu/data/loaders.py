@@ -173,4 +173,10 @@ def load_node_dataset(
     except Exception as exc:  # fall back, but tell the user
         print(f"[dgl_tpu.data] failed to parse on-disk {name}: {exc!r}; "
               "falling back to synthetic", file=sys.stderr)
-    return synthetic_node_classification(name, seed=seed, cache_dir=root, scale=scale)
+    # DGL_TPU_SYNTH_STRUCTURAL=1 switches the synthetic fallback to the
+    # structure-required construction (features alone ≈ chance) — the
+    # hardened e2e gates run drivers under this env
+    return synthetic_node_classification(
+        name, seed=seed, cache_dir=root, scale=scale,
+        structure_required=bool(os.environ.get("DGL_TPU_SYNTH_STRUCTURAL")),
+    )

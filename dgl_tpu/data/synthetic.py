@@ -113,8 +113,19 @@ def synthetic_node_classification(
     noise: float = 1.0,
     cache_dir: Optional[str] = None,
     scale: float = 1.0,
+    structure_required: bool = False,
 ) -> NodeClassificationData:
-    """``scale`` < 1 shrinks node/edge counts proportionally (smoke tests)."""
+    """``scale`` < 1 shrinks node/edge counts proportionally (smoke tests).
+
+    ``structure_required=True`` plants a signal that is UNREACHABLE from
+    node features alone: a cluster latent drives the edges (so locality/
+    clustering structure is preserved), an independent code latent drives
+    the features, and the label is the majority code of the node's
+    in-neighbors. A features-only model scores ~chance; one round of
+    correct message passing recovers the label — so accuracy gates on this
+    data fail under any broken aggregation (dropped neighbor term, wrong
+    direction, bad normalization). Used by the hardened e2e gates.
+    """
     if name not in NODE_DATASET_STATS:
         raise ValueError(f"unknown dataset {name!r}; known: {sorted(NODE_DATASET_STATS)}")
     n, e, d, c = NODE_DATASET_STATS[name]
@@ -126,7 +137,7 @@ def synthetic_node_classification(
 
     if cache_dir:
         key = hashlib.md5(
-            f"{name}-{seed}-{homophily}-{noise}-{scale}-v2".encode()
+            f"{name}-{seed}-{homophily}-{noise}-{scale}-{structure_required}-v4".encode()
         ).hexdigest()[:12]
         path = os.path.join(cache_dir, f"syn_{name}_{key}.npz")
         if os.path.exists(path):
@@ -151,14 +162,35 @@ def synthetic_node_classification(
         sim = z[src] * z[dst]  # (e, 8) per-relation affinity
         edge_feat = (1.0 / (1.0 + np.exp(-sim))).astype(np.float32)
         x = np.ones((n, d), dtype=np.float32)
-        y_for_masks = None
+
+    elif structure_required:
+        # cluster latent -> edges (clustering/locality preserved);
+        # INDEPENDENT continuous code latent -> features; label = argmax of
+        # a linear map of the IN-NEIGHBOR-MEAN latent. One correct mean-
+        # aggregation step makes the label linearly decodable; features
+        # alone are independent of it (~chance).
+        r = 8
+        cluster = rng.integers(0, c, size=n).astype(np.int64)
+        src, dst = _homophilous_edges(rng, cluster, e, homophily)
+        z = rng.standard_normal((n, r)).astype(np.float32)
+        w_feat = (rng.standard_normal((r, d)) / np.sqrt(r)).astype(np.float32)
+        x = z @ w_feat + 0.3 * noise * rng.standard_normal((n, d)).astype(np.float32)
+        agg = np.zeros((n, r), dtype=np.float64)
+        np.add.at(agg, dst, z[src])
+        deg = np.bincount(dst, minlength=n)
+        mean_z = agg / np.maximum(deg, 1)[:, None]
+        # zero-in-degree nodes: label from the node's own latent (matches
+        # the zero-output mean semantics only through the self path)
+        mean_z[deg == 0] = z[deg == 0]
+        m_lab = rng.standard_normal((r, c))
+        labels = np.asarray(mean_z @ m_lab).argmax(axis=1).astype(np.int64)
+        edge_feat = None
     else:
         labels = rng.integers(0, c, size=n).astype(np.int64)
         src, dst = _homophilous_edges(rng, labels, e, homophily)
         means = rng.standard_normal((c, d)).astype(np.float32)
         x = means[labels] + noise * rng.standard_normal((n, d)).astype(np.float32)
         edge_feat = None
-        y_for_masks = labels
 
     # split fractions follow the reference datasets' regimes:
     # citation = tiny train set; reddit/ogb = majority train

@@ -290,6 +290,14 @@ def gspmm(
     if needs_e and e is None:
         raise ValueError(f"spmm op {op!r} requires edge features e")
 
+    if os.environ.get("DGL_TPU_FAULT_ZERO_AGG"):
+        # deliberate fault injection (test-only): zero every aggregation so
+        # the hardened structure-required e2e gates demonstrably FAIL when
+        # message passing is broken. Never set in production.
+        ref = x if needs_x else e
+        shape = (g.num_dst_nodes,) + tuple(ref.shape[1:])
+        return jnp.zeros(shape, ref.dtype if ref.dtype != jnp.int32 else jnp.float32)
+
     if (
         g.block_fanout is not None
         and op in ("copy_u", "copy_lhs")

@@ -65,7 +65,7 @@ class ClusterIter:
         psize: int,
         batch_size: int,
         *,
-        method: str = "lp",
+        method: str = "metis",
         seed: int = 0,
         cache_dir: Optional[str] = None,
         with_negatives: bool = False,
@@ -80,6 +80,14 @@ class ClusterIter:
         part = partition_assignment(
             src, dst, num_nodes, psize,
             method=method, seed=seed, cache_dir=cache_dir, cache_key=name,
+        )
+        from ..graph.partition import partition_stats
+
+        self.part_stats = partition_stats(src, dst, part, psize)
+        print(
+            f"partition[{method}] k={psize}: "
+            f"edge_cut={self.part_stats['edge_cut']:.3f} "
+            f"balance={self.part_stats['balance']:.2f}"
         )
         self.par_li = get_partition_list(part, psize)
         # host CSR by src + native subgraph extractor (C++ with NumPy

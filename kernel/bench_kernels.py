@@ -105,6 +105,41 @@ def bench_sddmm(g, binary_op, scale):
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
 
+def bench_scatter(g, reduce_op, scale):
+    """PyG-twin tier (reference K2, ``kernel/pyg-new.py``): the same
+    aggregation expressed through the USER-LEVEL scatter API — an explicit
+    edge gather followed by ``ops.segment_{sum,mean,max}`` — instead of the
+    fused ``gspmm``. The gap between this sweep and the SPMM sweep is the
+    fusion benefit the reference measures DGL-vs-PyG."""
+    from dgl_tpu.ops import segment
+
+    print("SCATTER (segment user ops)\n----")
+    data = load_node_dataset(g, scale=scale)
+    graph = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    seg_fn = {"sum": segment.segment_sum, "mean": segment.segment_mean,
+              "max": segment.segment_max}[reduce_op]
+    src = graph.src
+    dst = graph.dst
+    n_dst = graph.num_dst_nodes
+    for n_hid in FEAT_SIZES:
+        try:
+            rng = np.random.default_rng(0)
+            nfeat = jnp.asarray(
+                rng.standard_normal((graph.num_src_nodes, n_hid)).astype(np.float32)
+            )
+
+            def run(c, nfeat=nfeat):
+                msg = (nfeat + c)[src]  # explicit gather (scatter-API style)
+                out = seg_fn(msg, dst, n_dst)
+                return jnp.sum(out) * 1e-30 + c
+
+            avg = bench_op(run)
+            print("hidden size: {}, avg time: {}".format(n_hid, avg))
+            _csv(g, "scatter", f"gather.segment_{reduce_op}", n_hid, avg)
+        except Exception as e:
+            print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("benchmark on g-spmm and g-sddmm (dgl_tpu)")
     parser.add_argument("--spmm-binary", type=str, default="copy_lhs",
@@ -118,6 +153,9 @@ if __name__ == "__main__":
     parser.add_argument("--scale", type=float, default=1.0)
     parser.add_argument("--skip-sddmm", action="store_true")
     parser.add_argument("--skip-spmm", action="store_true")
+    parser.add_argument("--scatter", action="store_true",
+                        help="also sweep the user-level scatter API "
+                             "(gather + segment_* — the PyG-twin tier)")
     parser.add_argument("--csv", type=str, default=None,
                         help="append rows (dataset,kind,op,hidden,seconds) to this CSV")
     args = parser.parse_args()
@@ -130,3 +168,6 @@ if __name__ == "__main__":
             bench_spmm(dataset, args.spmm_binary, args.spmm_reduce, args.scale)
         if not args.skip_sddmm:
             bench_sddmm(dataset, args.sddmm_binary, args.scale)
+        if args.scatter:
+            reduce = args.spmm_reduce if args.spmm_reduce != "min" else "max"
+            bench_scatter(dataset, reduce, args.scale)
