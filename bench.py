@@ -74,7 +74,10 @@ def main():
     src, dst = data.src, data.dst
     features, labels, train_mask = data.features, data.labels, data.train_mask
     if not args.no_lane and jax.default_backend() == "tpu":
-        order = locality_order(src, dst, data.num_nodes, seed=0)
+        from dgl_tpu.data.loaders import data_root
+
+        order = locality_order(src, dst, data.num_nodes, seed=0,
+                               cache_dir=data_root(), cache_key=args.dataset)
         src, dst, features, labels, train_mask, _ = apply_order(
             order, src, dst, features, labels, train_mask
         )

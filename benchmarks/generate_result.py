@@ -39,45 +39,53 @@ WORKLOADS = [
      {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "pubmed"]},
      {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
+    # big rows cap --runs/--epochs below the reference's 10-run protocol to
+    # bound wall-clock on the shared chip; the timing methodology (mean of
+    # the per-epoch running timer, warmup skipped) is unchanged, and
+    # synthetic-data accuracy saturates well before the cap
     ("reddit_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "8", "--runs", "1"],
-      "full": ["--dataset", "reddit", "--lane-kernel", "--no-precompute"]},
-     {"time_args": ["--runs", "1"]}),
+      "full": ["--dataset", "reddit", "--lane-kernel", "--no-precompute",
+               "--runs", "3"]},
+     {"time_args": ["--runs", "1", "--epochs", "60"]}),
     ("arxiv_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "8", "--runs", "1"],
-      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel"]},
-     {"time_args": ["--runs", "1", "--scan-epochs", "10"]}),
+      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "3"]},
+     {"time_args": ["--runs", "1", "--epochs", "200", "--scan-epochs", "10"]}),
     ("products_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "ogbn-products", "--lane-kernel"]},
-     {"time_args": ["--runs", "1"]}),
+      "full": ["--dataset", "ogbn-products", "--lane-kernel", "--runs", "1",
+               "--epochs", "60"]},
+     {"time_args": ["--runs", "1", "--epochs", "40"]}),
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
-     {"time_args": ["--runs", "1"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
     ("pubmed_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "pubmed"]},
-     {"time_args": ["--runs", "1"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
     ("reddit_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "reddit", "--lane-kernel"]},
-     {"time_args": ["--runs", "1"]}),
+      "full": ["--dataset", "reddit", "--lane-kernel", "--runs", "1",
+               "--epochs", "150"]},
+     {"time_args": ["--runs", "1", "--epochs", "60"]}),
     ("arxiv_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel"]},
-     {"time_args": ["--runs", "1"]}),
+      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "2",
+               "--epochs", "250"]},
+     {"time_args": ["--runs", "1", "--epochs", "100"]}),
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": []},
-     {"time_args": ["--runs", "1"]}),
+      "full": ["--runs", "2", "--epochs", "300"]},
+     {"time_args": ["--runs", "1", "--epochs", "100"]}),
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
       "full": ["--dataset", "ENZYMES"]}),
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],
-      "full": ["--dataset", "ogbg-molhiv"]}),
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "3"]}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],

@@ -65,6 +65,11 @@ def main():
                              "logit/softmax/dropout/aggregate pipeline into one "
                              "kernel pass per direction (auto-fallback to the "
                              "XLA path when the plan expands too much)")
+    parser.add_argument("--scan-epochs", type=int, default=1,
+                        help="epochs per device dispatch via lax.scan (>1 "
+                             "amortizes the per-dispatch tunnel latency that "
+                             "dominates tiny graphs; engages only without "
+                             "--eval, identical rng sequence to the loop)")
     args = parser.parse_args()
     cfg = DATASET_CFG[args.dataset]
     for flag, key in [("lr", "lr"), ("weight_decay", "wd"), ("num_hidden", "hidden"),
@@ -84,18 +89,20 @@ def main():
     features, labels = data.features, data.labels
     mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
     if args.lane_kernel:
-        # locality relabeling maximizes the lane plan's tile density
-        from dgl_tpu.graph.partition import partition_assignment
+        # locality relabeling maximizes the lane plan's tile density: hub
+        # extraction + multilevel community blocks (same order bench.py uses)
+        from dgl_tpu.graph.reorder import apply_order, locality_order
 
-        part = partition_assignment(src, dst, data.num_nodes,
-                                    max(data.num_nodes // 1024, 2), seed=args.seed)
-        order = np.argsort(part, kind="stable")
-        new_id = np.empty(data.num_nodes, np.int64)
-        new_id[order] = np.arange(data.num_nodes)
-        src, dst = new_id[src], new_id[dst]
-        features = features[order]
-        labels = labels[order]
-        mask_arrays = {k: v[order] for k, v in mask_arrays.items()}
+        from dgl_tpu.data.loaders import data_root
+
+        order = locality_order(
+            src, dst, data.num_nodes, seed=args.seed,
+            cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}_gat",
+        )
+        src, dst, features, labels, *mvals, _ = apply_order(
+            order, src, dst, features, labels, *mask_arrays.values()
+        )
+        mask_arrays = dict(zip(mask_arrays.keys(), mvals))
     src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
     g = dgl_tpu.from_edges(src, dst, data.num_nodes)
     if args.lane_kernel:
@@ -119,8 +126,7 @@ def main():
     )
     tx = adam_l2(cfg["lr"], cfg["wd"])
 
-    @jax.jit
-    def train_step(params, opt_state, key, g, x, y, masks):
+    def _train_step_body(params, opt_state, key, g, x, y, masks):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p}, g, x, deterministic=False, rngs={"dropout": key}
@@ -129,6 +135,25 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    train_step = jax.jit(_train_step_body)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def train_chunk(params, opt_state, key, g, x, y, masks, k):
+        """k epochs in ONE dispatch (identical rng sequence to the loop)."""
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = _train_step_body(
+                params, opt_state, sub, g, x, y, masks
+            )
+            return (params, opt_state, key), loss
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=k
+        )
+        return params, opt_state, key, losses[-1]
 
     @jax.jit
     def eval_step(params, g, x, y, masks):
@@ -141,24 +166,32 @@ def main():
         key = jax.random.PRNGKey(args.seed * 1000 + run)
         params = model.init(key, g, x)["params"]
         opt_state = tx.init(params)
-        for epoch in range(cfg["epochs"]):
-            key, sub = jax.random.split(key)
+        scan_k = args.scan_epochs if (args.scan_epochs > 1 and not args.eval) else 1
+        epoch = 0
+        while epoch < cfg["epochs"]:
+            k = min(scan_k, cfg["epochs"] - epoch)
             if epoch >= 3:
                 t0 = time.time()
-            params, opt_state, loss = train_step(params, opt_state, sub, g, x, y, masks)
+            if k > 1:
+                params, opt_state, key, loss = train_chunk(
+                    params, opt_state, key, g, x, y, masks, k=k
+                )
+            else:
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = train_step(params, opt_state, sub, g, x, y, masks)
             loss = float(loss)
             if epoch >= 3:
-                dur.append(time.time() - t0)
+                dur.append((time.time() - t0) / k)
                 print("Training time/epoch {}".format(np.mean(dur)))
-            if not args.eval:
-                continue
-            accs = tuple(map(float, eval_step(params, g, x, y, masks)))
-            logger.add_result(run, accs)
-            print(
-                "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
-                    run, epoch, loss, *accs
+            if args.eval:
+                accs = tuple(map(float, eval_step(params, g, x, y, masks)))
+                logger.add_result(run, accs)
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss, *accs
+                    )
                 )
-            )
+            epoch += k
         if args.eval:
             logger.print_statistics(run)
     if args.eval:

@@ -211,18 +211,20 @@ def main():
     features, labels = data.features, data.labels
     mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
     if args.lane_kernel:
-        # locality relabeling maximizes the lane plan's tile density
-        from dgl_tpu.graph.partition import partition_assignment
+        # locality relabeling maximizes the lane plan's tile density: hub
+        # extraction + multilevel community blocks (same order bench.py uses)
+        from dgl_tpu.graph.reorder import apply_order, locality_order
 
-        part = partition_assignment(src, dst, data.num_nodes,
-                                    max(data.num_nodes // 1024, 2), seed=args.seed)
-        order = np.argsort(part, kind="stable")
-        new_id = np.empty(data.num_nodes, np.int64)
-        new_id[order] = np.arange(data.num_nodes)
-        src, dst = new_id[src], new_id[dst]
-        features = features[order]
-        labels = labels[order]
-        mask_arrays = {k: v[order] for k, v in mask_arrays.items()}
+        from dgl_tpu.data.loaders import data_root
+
+        order = locality_order(
+            src, dst, data.num_nodes, seed=args.seed,
+            cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}",
+        )
+        src, dst, features, labels, *mvals, _ = apply_order(
+            order, src, dst, features, labels, *mask_arrays.values()
+        )
+        mask_arrays = dict(zip(mask_arrays.keys(), mvals))
     g = dgl_tpu.from_edges(src, dst, data.num_nodes)
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans

@@ -39,6 +39,8 @@ def locality_order(
     method: str = "metis",
     seed: int = 0,
     part: Optional[np.ndarray] = None,
+    cache_dir: Optional[str] = None,
+    cache_key: Optional[str] = None,
 ) -> np.ndarray:
     """Compute a locality order: returns ``order`` (old node ids in their
     new sequence; ``order[i]`` = old id of new node ``i``).
@@ -51,6 +53,8 @@ def locality_order(
       method: partitioner for the non-hub blocks (``metis``/``lp``/
         ``random`` — see :func:`graph.partition.partition_assignment`).
       part: precomputed partition assignment (skips the partitioner).
+      cache_dir/cache_key: cache the multilevel partition to disk (the
+        partitioner is minutes of host time at ogbn-products scale).
     """
     src = np.asarray(src)
     dst = np.asarray(dst)
@@ -58,7 +62,11 @@ def locality_order(
         hub_count = min(num_nodes // 16, 8192)
     if part is None:
         k = max(num_nodes // part_size, 2)
-        part = partition_assignment(src, dst, num_nodes, k, method=method, seed=seed)
+        part = partition_assignment(
+            src, dst, num_nodes, k, method=method, seed=seed,
+            cache_dir=cache_dir,
+            cache_key=f"{cache_key}_locality" if cache_key else None,
+        )
     deg = np.bincount(src, minlength=num_nodes) + np.bincount(dst, minlength=num_nodes)
     if hub_count > 0:
         hubs = np.argpartition(-deg, min(hub_count, num_nodes - 1))[:hub_count]
