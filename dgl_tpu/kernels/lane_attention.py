@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lane_spmm import JG, RUNS_PER_CHUNK, SB, _VMEM_X_BUDGET, LanePlan
+from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan
 
 __all__ = ["lane_gat_agg", "lane_attn_fits"]
 
@@ -58,6 +58,14 @@ def _d_pad(d: int, itemsize: int) -> int:
     return -(-d // 8) * 8 if d > 8 else d
 
 
+_VMEM_ATTN_BUDGET = 24 * (1 << 20)
+# the attention passes keep ONE whole feature slab resident (no slab
+# double-buffering like lane_spmm), so they can afford a bigger budget than
+# lane_spmm's default; the pallas_call raises Mosaic's per-kernel VMEM limit
+# accordingly (v5e has 128 MiB)
+_VMEM_LIMIT = 100 * (1 << 20)
+
+
 def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype) -> bool:
     """True when the fused path applies: the per-head feature slab fits the
     VMEM budget for all three passes (sparse-tile remainders are fine — the
@@ -66,8 +74,8 @@ def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype) -> b
     itemsize = jnp.dtype(compute_dtype).itemsize
     dk = _d_pad(dh, itemsize)
     return (
-        dk * plan.n_src_pad * itemsize <= _VMEM_X_BUDGET
-        and dk * rplan.n_src_pad * itemsize <= _VMEM_X_BUDGET
+        dk * plan.n_src_pad * itemsize <= _VMEM_ATTN_BUDGET
+        and dk * rplan.n_src_pad * itemsize <= _VMEM_ATTN_BUDGET
     )
 
 
@@ -260,6 +268,7 @@ def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
             (h, plan.num_groups, rows_pad, JG), jnp.float32
         ),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(plan.group, plan.first, seed, *operands, bs, gs, f)
     # (H, G, rows, JG) → (G*JG, H, rows)
