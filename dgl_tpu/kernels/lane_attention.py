@@ -10,11 +10,13 @@ E-length tensor:
 
 * **forward** (1 pass over the forward plan): per-slot
   ``p = exp(leaky_relu(el[src] + er[dst]) - U[dst])`` and one one-hot MXU
-  matmul accumulating ``[Σ m·p·v ; Σ p]`` — numerator and softmax
-  denominator together; normalization is an N-wide epilogue.
-* **backward** (1 forward-plan + 1 reverse-plan pass) using three
-  identities that collapse every per-edge quantity to weighted
-  aggregations + N-wide math:
+  matmul accumulating ``[Σ m·p·v ; Σ p ; Σ m·p·slope·v ; Σ p·slope]`` —
+  softmax numerator/denominator PLUS the two g-independent backward
+  aggregations (``w1``/``w1s`` below, recovered by an ``1/s`` epilogue).
+  The pass is gather-bound, so the extra accumulator rows ride the same
+  slot gather for ~free and eliminate a whole backward pass.
+* **backward** (1 reverse-plan pass) using three identities that collapse
+  every per-edge quantity to weighted aggregations + N-wide math:
   - softmax max-shift: ``U[d] = leaky_relu(max(el) + er[d])`` is a valid
     per-dst upper bound because leaky_relu is monotone; softmax is
     invariant to the shift, and clamping the exponent at 0 (exact for real
@@ -22,7 +24,9 @@ E-length tensor:
   - Jacobian correction: ``C[d] = Σ_e α_e m_e (v[s]·g[d]) = g[d]·out[d]``
     — no edge pass needed.
   - ``grad_er[d] = g[d]·w1[d] − C[d]·w1s[d]`` with
-    ``w1 = Σ α m s v``, ``w1s = Σ α s`` (forward-plan aggregation), and
+    ``w1 = Σ α m s v``, ``w1s = Σ α s`` (computed IN the forward pass —
+    both are ``1/s`` times forward-plan aggregations of g-independent
+    per-slot quantities), and
     ``grad_el[s] = v[s]·w2[s] − w3[s]``, ``grad_v[s] = Σ m α g[d]`` with
     ``w2 = Σ m α s g``, ``w3 = Σ α s C[d]`` (reverse-plan aggregation),
     where ``s`` is the leaky-relu slope per edge.
@@ -146,12 +150,9 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
                 p = jnp.exp(jnp.minimum(z - gss[:, 1], 0.0))
                 w_main = p if m is None else p * m
                 w_extra = p
-            elif pass_kind == "b1":
-                p = jnp.exp(jnp.minimum(z - gss[:, 1], 0.0))
-                alpha = p * gss[:, 2]
                 slope = jnp.where(raw > 0, 1.0, negative_slope)
-                w_extra = alpha * slope
-                w_main = w_extra if m is None else w_extra * m
+                w_1 = w_main * slope   # Σ m·p·slope·v → w1 after 1/s
+                w_1s = p * slope       # Σ p·slope     → w1s after 1/s
             else:  # b2: bs = [a_dst, U, invS, C], gs = [a_src]
                 p = jnp.exp(jnp.minimum(z - bss[1], 0.0))
                 alpha = p * bss[2]
@@ -175,7 +176,9 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
                     [
                         msg * w_main.astype(cd)[None, :],
                         w_extra.astype(cd)[None, :],
-                        jnp.zeros((rows_pad - dk - 1, SB), cd),
+                        msg * w_1.astype(cd)[None, :],
+                        w_1s.astype(cd)[None, :],
+                        jnp.zeros((rows_pad - 2 * dk - 2, SB), cd),
                     ],
                     axis=0,
                 )
@@ -224,7 +227,7 @@ def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
                negative_slope: float, keep: float, interpret: bool):
     h = f.shape[0]
     nb, ng = bs.shape[1], gs.shape[2]
-    n_rows = 2 * dk + 1 if pass_kind == "b2" else dk + 1
+    n_rows = 2 * dk + 2 if pass_kind == "fwd" else 2 * dk + 1
     rows_pad = -(-n_rows // 8) * 8
     bf16_pack = jnp.dtype(f.dtype).itemsize == 2
 
@@ -303,7 +306,8 @@ def _rem_edge_common(rem, reid, side_src, side_dst, seed, keep: float,
 
 
 def _rem_fwd_terms(rem, reid, v, a_src, a_dst, u, seed, keep, ns):
-    """Remainder [Σ m·p·v ; Σ p] per dst — same math as the fwd lane pass."""
+    """Remainder [Σ m·p·v ; Σ p ; Σ m·p·slope·v ; Σ p·slope] per dst — same
+    math as the fwd lane pass (incl. the g-independent w1/w1s terms)."""
     from ..ops.spmm import gspmm
 
     h, dh = v.shape[1], v.shape[2]
@@ -318,32 +322,14 @@ def _rem_fwd_terms(rem, reid, v, a_src, a_dst, u, seed, keep, ns):
     z = jnp.where(raw > 0, raw, ns * raw)
     p = jnp.exp(jnp.minimum(z - de[..., 1], 0.0))
     pm = p if m is None else p * m[:, None]
-    packed = jnp.concatenate([pm[..., None] * ve, p[..., None]], axis=2)
-    agg = gspmm(rem, "copy_e", "sum", e=packed)  # one segment reduce
-    return agg[..., :dh], agg[..., dh]
-
-
-def _rem_b1_terms(rem, reid, v, a_src, a_dst, u, inv_s, seed, keep, ns):
-    """Remainder [Σ α·m·slope·v ; Σ α·slope] per dst (b1 lane pass)."""
-    from ..ops.spmm import gspmm
-
-    h, dh = v.shape[1], v.shape[2]
-    sstack = jnp.concatenate(
-        [v.astype(jnp.float32).reshape(-1, h * dh), a_src], axis=1)
-    dstack = jnp.stack([a_dst, u, inv_s], axis=-1).reshape(-1, h * 3)
-    se, de, m = _rem_edge_common(rem, reid, sstack, dstack, seed, keep, ns)
-    ve = se[:, : h * dh].reshape(-1, h, dh)
-    el = se[:, h * dh:]
-    de = de.reshape(-1, h, 3)
-    raw = el + de[..., 0]
-    z = jnp.where(raw > 0, raw, ns * raw)
-    alpha = jnp.exp(jnp.minimum(z - de[..., 1], 0.0)) * de[..., 2]
     slope = jnp.where(raw > 0, 1.0, ns)
-    asl = alpha * slope
-    w_main = asl if m is None else asl * m[:, None]
-    packed = jnp.concatenate([w_main[..., None] * ve, asl[..., None]], axis=2)
-    agg = gspmm(rem, "copy_e", "sum", e=packed)
-    return agg[..., :dh], agg[..., dh]
+    pms = pm * slope
+    packed = jnp.concatenate(
+        [pm[..., None] * ve, p[..., None], pms[..., None] * ve,
+         (p * slope)[..., None]], axis=2)
+    agg = gspmm(rem, "copy_e", "sum", e=packed)  # one segment reduce
+    return (agg[..., :dh], agg[..., dh],
+            agg[..., dh + 1 : 2 * dh + 1], agg[..., 2 * dh + 1])
 
 
 def _rem_b2_terms(remr, reid, g_out, a_src, a_dst, u, inv_s, c, seed, keep, ns):
@@ -398,41 +384,34 @@ def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
     )
     num = res[:num_dst, :, :dh]
     s = res[:num_dst, :, dk]
+    w1u = res[:num_dst, :, dk + 1 : dk + 1 + dh]
+    w1su = res[:num_dst, :, 2 * dk + 1]
     if rem_fwd is not None:
-        rnum, rden = _rem_fwd_terms(rem_fwd, rem_feid, v, a_src, a_dst, u,
-                                    seed, keep, negative_slope)
+        rnum, rden, rw1u, rw1su = _rem_fwd_terms(
+            rem_fwd, rem_feid, v, a_src, a_dst, u, seed, keep, negative_slope)
         num = num + rnum[:num_dst]
         s = s + rden[:num_dst]
+        w1u = w1u + rw1u[:num_dst]
+        w1su = w1su + rw1su[:num_dst]
     out = jnp.where(s[:, :, None] > 0, num / jnp.where(s, s, 1.0)[:, :, None], 0.0)
     return out, (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
-                 v, a_src, a_dst, u, s, out, seed)
+                 v, a_src, a_dst, u, s, out, w1u, w1su, seed)
 
 
 def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
                   res, g):
     (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
-     v, a_src, a_dst, u, s, out, seed) = res
+     v, a_src, a_dst, u, s, out, w1u, w1su, seed) = res
     h, dh = v.shape[1], v.shape[2]
     dk = _d_pad(dh, jnp.dtype(cd).itemsize)
     g = g.astype(jnp.float32)
     inv_s = jnp.where(s > 0, 1.0 / jnp.where(s, s, 1.0), 0.0)  # (num_dst, H)
     c = jnp.sum(g * out, axis=2)  # (num_dst, H)
 
-    b1 = _attn_pass(
-        "b1", fplan,
-        _feature_major(v, h, dk, fplan.n_src_pad, cd),
-        _node_stack([a_src], fplan.n_src_pad),
-        _group_stack([a_dst, u, inv_s], fplan.n_dst_pad),
-        seed, dk=dk, negative_slope=negative_slope, keep=keep,
-        interpret=interpret,
-    )
-    w1 = b1[:num_dst, :, :dh]
-    w1s = b1[:num_dst, :, dk]
-    if rem_fwd is not None:
-        rw1, rw1s = _rem_b1_terms(rem_fwd, rem_feid, v, a_src, a_dst, u,
-                                  inv_s, seed, keep, negative_slope)
-        w1 = w1 + rw1[:num_dst]
-        w1s = w1s + rw1s[:num_dst]
+    # w1/w1s came for free from the forward pass (g-independent): w1 = α
+    # weights need the 1/s normalization the kernel omits
+    w1 = w1u * inv_s[:, :, None]
+    w1s = w1su * inv_s
     grad_a_dst = jnp.sum(g * w1, axis=2) - c * w1s
 
     b2 = _attn_pass(
