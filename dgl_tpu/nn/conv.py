@@ -143,7 +143,7 @@ class GATConv(nn.Module):
         att_r = self.param("attn_r", xavier_uniform(), (1, H, D))
 
         lane_out = self._lane_attention(
-            g, z_src, z_dst, att_l, att_r, deterministic
+            g, x_src, lin, z_src, z_dst, att_l, att_r, deterministic
         )
         if lane_out is not None:
             out = lane_out
@@ -171,14 +171,22 @@ class GATConv(nn.Module):
         out = gspmm(g, "copy_e", "sum", e=msg)  # sorted reduction (N_dst, H, D)
         return self._epilogue(g, out, x_dst, H, D)
 
-    def _lane_attention(self, g, z_src, z_dst, att_l, att_r, deterministic):
+    def _lane_attention(self, g, x_src, lin, z_src, z_dst, att_l, att_r,
+                        deterministic):
         """Fused lane-plan attention (TPU): the whole logit → edge-softmax →
         dropout → weighted-aggregation pipeline in one Pallas pass per
         direction (``kernels/lane_attention.py``), replacing the three
         E-length gather/scatter passes. Sparse-tile remainders run through
         the XLA hybrid terms under the same softmax normalization.
         Dispatches when lane plans are attached and the per-head slab fits
-        VMEM."""
+        VMEM.
+
+        When ``in_feats < out_feats`` (e.g. the output layer, D = num
+        classes) the aggregation commutes with the output projection —
+        ``Σ α·(W x) = W·(Σ α x)`` since α are per-edge scalars — so the
+        kernel aggregates the NARROW input features and applies W as an
+        N-wide epilogue, shrinking the VMEM slab and per-slot gather by
+        out_feats/in_feats."""
         import os
 
         from ..kernels.lane_attention import lane_attn_fits, lane_gat_agg
@@ -192,8 +200,12 @@ class GATConv(nn.Module):
             or not (jax.default_backend() == "tpu" or interp)
         ):
             return None
+        H, D = self.num_heads, self.out_feats
+        in_d = x_src.shape[-1]
+        narrow = in_d < D
+        agg_d = in_d if narrow else D
         cd = g.lane.compute_dtype if g.lane.compute_dtype is not None else jnp.bfloat16
-        if not lane_attn_fits(g.lane.plan, g.reverse.lane.plan, self.out_feats, cd):
+        if not lane_attn_fits(g.lane.plan, g.reverse.lane.plan, agg_d, cd):
             return None
         a_src = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
         a_dst = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
@@ -203,14 +215,23 @@ class GATConv(nn.Module):
             seed = jax.random.randint(
                 self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, dtype=jnp.int32
             )
-        return lane_gat_agg(
-            g.lane.plan, g.reverse.lane.plan, z_src, a_src, a_dst,
+        v = (
+            jnp.broadcast_to(x_src[:, None, :], (x_src.shape[0], H, in_d))
+            if narrow
+            else z_src
+        )
+        agg = lane_gat_agg(
+            g.lane.plan, g.reverse.lane.plan, v, a_src, a_dst,
             g.num_dst_nodes,
             rem_fwd=g.lane.remainder, rem_fwd_eid=g.lane.rem_eid,
             rem_rev=g.reverse.lane.remainder, rem_rev_eid=g.reverse.lane.rem_eid,
             negative_slope=self.negative_slope,
             attn_keep=keep, seed=seed, compute_dtype=cd, interpret=interp,
         )
+        if not narrow:
+            return agg
+        w = lin.variables["params"]["kernel"].reshape(in_d, H, D)
+        return jnp.einsum("nhi,ihd->nhd", agg, w)
 
     def _epilogue(self, g, out, x_dst, H, D):
         if self.residual:
