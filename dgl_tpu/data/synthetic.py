@@ -41,6 +41,23 @@ NODE_DATASET_STATS: Dict[str, Tuple[int, int, int, int]] = {
     "ogbn-proteins": (132_534, 39_561_252, 8, 112),
 }
 
+# Fine community layer for the big graphs. The real datasets have small
+# dense communities — subreddits (reddit), co-purchase clusters (products:
+# avg clustering coefficient 0.41, arxiv 0.23 per the OGB stats) — and that
+# structure is what METIS partitioning, Cluster-GCN, and locality
+# reordering exploit on the real data; flat class-level homophily alone
+# generates neighborhoods far more diffuse than any of the real graphs.
+# name: (community_size, fraction of edges within the community), chosen so
+# the generated clustering coefficient approximates the real one
+# (within-degree / community_size ~= real clustering coefficient).
+_COMMUNITY_STRUCTURE = {
+    # reddit is deliberately absent: its labels ARE its communities (41
+    # subreddits), so the flat class-homophily model already matches the
+    # real structure
+    "ogbn-products": (64, 0.55),
+    "ogbn-arxiv": (32, 0.45),
+}
+
 # name: (num_graphs, avg_nodes, avg_edges, feat_desc, num_classes)
 GRAPH_DATASET_STATS = {
     "ENZYMES": (600, 33, 62, 18, 6),
@@ -85,25 +102,47 @@ def _powerlaw_targets(rng, n: int, e: int, alpha: float = 0.8) -> np.ndarray:
     return perm[rng.choice(n, size=e, p=p)]
 
 
+def _grouped_pick(rng, group: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """For each src node, a uniform random node from src's group."""
+    order = np.argsort(group, kind="stable")
+    counts = np.bincount(group)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    gidx = group[src]
+    r = rng.random(len(src))
+    idx = (offsets[gidx] + (r * counts[gidx]).astype(np.int64)).clip(0, len(group) - 1)
+    return order[idx]
+
+
 def _homophilous_edges(
     rng, labels: np.ndarray, e: int, homophily: float, alpha: float = 0.8
 ):
     """Edges where a `homophily` fraction connect same-class nodes."""
     n = len(labels)
-    order = np.argsort(labels, kind="stable")
-    counts = np.bincount(labels)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-
     src = _powerlaw_targets(rng, n, e, alpha)
     same = rng.random(e) < homophily
-    # homophilous endpoints: random node of the same class
-    cls = labels[src[same]]
-    r = rng.random(same.sum())
-    idx = (offsets[cls] + (r * counts[cls]).astype(np.int64)).clip(0, n - 1)
     dst = np.empty(e, dtype=np.int64)
-    dst[same] = order[idx]
+    dst[same] = _grouped_pick(rng, labels, src[same])
     dst[~same] = rng.integers(0, n, size=(~same).sum())
     return src.astype(np.int64), dst
+
+
+def _community_edges(
+    rng, comm: np.ndarray, labels: np.ndarray, e: int,
+    p_comm: float, homophily: float, alpha: float = 0.8,
+):
+    """Edges with a two-level structure: a ``p_comm`` fraction stay inside
+    the src node's fine community (dense local clusters, like subreddit /
+    co-purchase neighborhoods), a further ``homophily - p_comm`` fraction
+    connect same-class nodes, and the rest are uniform."""
+    n = len(labels)
+    src = _powerlaw_targets(rng, n, e, alpha)
+    u = rng.random(e)
+    in_comm = u < p_comm
+    in_class = (u >= p_comm) & (u < homophily)
+    dst = rng.integers(0, n, size=e)
+    dst[in_comm] = _grouped_pick(rng, comm, src[in_comm])
+    dst[in_class] = _grouped_pick(rng, labels, src[in_class])
+    return src.astype(np.int64), dst.astype(np.int64)
 
 
 def synthetic_node_classification(
@@ -136,8 +175,13 @@ def synthetic_node_classification(
         e = max(n, int(e * scale))
 
     if cache_dir:
+        comm_tag = (
+            "-c{}x{}".format(*_COMMUNITY_STRUCTURE[name])
+            if name in _COMMUNITY_STRUCTURE and scale == 1.0 and not structure_required
+            else ""
+        )
         key = hashlib.md5(
-            f"{name}-{seed}-{homophily}-{noise}-{scale}-{structure_required}-v4".encode()
+            f"{name}-{seed}-{homophily}-{noise}-{scale}-{structure_required}-v4{comm_tag}".encode()
         ).hexdigest()[:12]
         path = os.path.join(cache_dir, f"syn_{name}_{key}.npz")
         if os.path.exists(path):
@@ -186,8 +230,19 @@ def synthetic_node_classification(
         labels = np.asarray(mean_z @ m_lab).argmax(axis=1).astype(np.int64)
         edge_feat = None
     else:
-        labels = rng.integers(0, c, size=n).astype(np.int64)
-        src, dst = _homophilous_edges(rng, labels, e, homophily)
+        comm_cfg = _COMMUNITY_STRUCTURE.get(name)
+        if comm_cfg and scale == 1.0:
+            # two-level structure: fine communities nested in classes (the
+            # community determines the label, as subreddits determine
+            # reddit's label and co-purchase clusters sit inside products'
+            # categories) — see _COMMUNITY_STRUCTURE
+            comm_size, p_comm = comm_cfg
+            comm = rng.integers(0, max(c, n // comm_size), size=n).astype(np.int64)
+            labels = (comm % c).astype(np.int64)
+            src, dst = _community_edges(rng, comm, labels, e, p_comm, homophily)
+        else:
+            labels = rng.integers(0, c, size=n).astype(np.int64)
+            src, dst = _homophilous_edges(rng, labels, e, homophily)
         means = rng.standard_normal((c, d)).astype(np.float32)
         x = means[labels] + noise * rng.standard_normal((n, d)).astype(np.float32)
         edge_feat = None

@@ -79,10 +79,20 @@ def partition_assignment(
 ) -> np.ndarray:
     """(num_nodes,) partition id per node; cached like the reference."""
     if cache_dir and cache_key:
-        # keyed by seed + edge count so a different --seed (or a changed
-        # graph under the same name) never silently reuses a stale partition
+        # keyed by seed + edge count + a strided content hash so a different
+        # --seed or a structurally changed graph under the same name (e.g. a
+        # regenerated synthetic dataset with identical counts) never
+        # silently reuses a stale partition
+        h = 0
+        if len(src):
+            step = max(len(src) // 4096, 1)
+            h = int(
+                (np.asarray(src[::step], np.int64) * 31
+                 + np.asarray(dst[::step], np.int64)).sum()
+            ) & 0xFFFFFFFF
         path = os.path.join(
-            cache_dir, f"{cache_key}_part_{k}_{method}_s{seed}_e{len(src)}.npy"
+            cache_dir,
+            f"{cache_key}_part_{k}_{method}_s{seed}_e{len(src)}_h{h:08x}.npy",
         )
         if os.path.exists(path):
             return np.load(path)
