@@ -52,11 +52,14 @@ WORKLOADS = [
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "8", "--runs", "1"],
       "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "3"]},
      {"time_args": ["--runs", "1", "--epochs", "200", "--scan-epochs", "10"]}),
+    # products: no --lane-kernel (the plan build is ~300s of host time per
+    # process for a plan that still leaves ~2/3 of the hub-heavy edge set on
+    # the XLA path) and few epochs — host prep alone (bidirect + reorder +
+    # CSR build on 124M edges) is ~2 min of the per-row budget
     ("products_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "ogbn-products", "--lane-kernel", "--runs", "1",
-               "--epochs", "60"]},
-     {"time_args": ["--runs", "1", "--epochs", "40"]}),
+      "full": ["--dataset", "ogbn-products", "--runs", "1", "--epochs", "20"]},
+     {"time_args": ["--runs", "1", "--epochs", "12"]}),
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
