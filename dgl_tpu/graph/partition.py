@@ -54,15 +54,33 @@ def _label_propagation_partition(
     orphans = np.where(part < 0)[0]
     part[orphans] = rng.integers(0, k, size=len(orphans))
 
-    # balance: move overflow from oversized parts to undersized ones
-    target = int(np.ceil(num_nodes / k))
+    return _balance(part, k)
+
+
+def _balance(part: np.ndarray, k: int, cap_ratio: float = 1.3) -> np.ndarray:
+    """Move overflow above ``cap_ratio × ideal`` into parts below the ideal
+    size. Vectorized (one sort + fancy assignment); the per-part loop runs
+    only over oversized parts. LP without this collapses at high k (products
+    k=15000: max part 1227× ideal; with it, ≤ cap)."""
+    n = len(part)
+    target = int(np.ceil(n / k))
+    cap = max(int(target * cap_ratio), target + 1)
     counts = np.bincount(part, minlength=k)
-    over = np.where(counts > target * 2)[0]
-    for p in over:
-        nodes = np.where(part == p)[0]
-        excess = nodes[target * 2 :]
-        under = np.argsort(np.bincount(part, minlength=k))[: max(1, len(excess) // target + 1)]
-        part[excess] = under[np.arange(len(excess)) % len(under)]
+    over = np.where(counts > cap)[0]
+    if not len(over):
+        return part
+    order = np.argsort(part, kind="stable")
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    excess = np.concatenate(
+        [order[offsets[p] + cap : offsets[p + 1]] for p in over]
+    )
+    under = np.where(counts < target)[0]
+    slots = np.repeat(under, target - counts[under])
+    part = part.copy()
+    m = min(len(excess), len(slots))
+    part[excess[:m]] = slots[:m]
+    if m < len(excess):  # leftover (cap rounding): spread round-robin
+        part[excess[m:]] = np.arange(len(excess) - m) % k
     return part
 
 
@@ -113,6 +131,8 @@ def partition_assignment(
         part = native.partition_lp(src, dst, num_nodes, k, 30, seed)
         if part is None:
             part = _label_propagation_partition(src, dst, num_nodes, k, rng)
+        else:
+            part = _balance(np.asarray(part), k)
     else:
         raise ValueError(f"unknown partition method {method!r}")
     if cache_dir and cache_key:
