@@ -133,7 +133,9 @@ def main():
     if not args.no_lane and jax.default_backend() == "tpu":
         from dgl_tpu.kernels import attach_lane_plans
 
-        g = attach_lane_plans(g)
+        g = attach_lane_plans(
+            g, cache_dir=data_root(), cache_key=args.dataset
+        )
     t_setup = time.time() - t_setup0
 
     x = jnp.asarray(features)

@@ -110,7 +110,11 @@ def main():
 
         # dense tiles go through the fused kernel; the sparse-tile
         # remainder runs as XLA hybrid terms under the same softmax
-        g = attach_lane_plans(g)
+        from dgl_tpu.data.loaders import data_root as _dr
+
+        g = attach_lane_plans(
+            g, cache_dir=_dr(), cache_key=f"{args.dataset}_s{args.scale}_gat"
+        )
         if g.lane is None:
             print("lane kernel: graph tiles too sparsely — using the XLA path")
     x = jnp.asarray(features)

@@ -229,7 +229,9 @@ def main():
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans
 
-        g = attach_lane_plans(g)
+        g = attach_lane_plans(
+            g, cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}"
+        )
         if g.lane is None:
             print("lane kernel: graph tiles too sparsely — using the XLA path")
     x = jnp.asarray(features)

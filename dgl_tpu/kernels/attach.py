@@ -14,6 +14,7 @@ function, is the thing to optimize.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 from typing import Optional
 
@@ -23,9 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.graph import Graph, from_edges
-from .lane_spmm import LanePlan, build_plan
+from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan, build_plan
 
 __all__ = ["LaneAttachment", "attach_lane_plans"]
+
+# bump when the LanePlan layout or build_plan semantics change — stale cache
+# files are then simply never matched (keyed into the filename)
+_PLAN_CACHE_VERSION = 1
 
 
 @jax.tree_util.register_pytree_node_class
@@ -48,12 +53,8 @@ class LaneAttachment:
         return cls(leaves[0], leaves[1], aux[0], leaves[2])
 
 
-def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
-                compute_dtype=None, eid: Optional[np.ndarray] = None
-                ) -> Optional[LaneAttachment]:
-    src, dst = g.edges_numpy()
-    plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
-                      dense_threshold=dense_threshold, eid=eid)
+def _finish_attachment(plan: LanePlan, g: Graph, max_expansion: float,
+                       compute_dtype=None) -> Optional[LaneAttachment]:
     rem_frac = len(plan.rem_src) / max(g.num_edges, 1)
     print(
         f"[dgl_tpu.kernels] lane plan: expansion={plan.expansion:.2f} "
@@ -80,9 +81,79 @@ def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
                           compute_dtype=compute_dtype, rem_eid=rem_eid)
 
 
+def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
+                compute_dtype=None, eid: Optional[np.ndarray] = None
+                ) -> Optional[LaneAttachment]:
+    src, dst = g.edges_numpy()
+    plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
+                      dense_threshold=dense_threshold, eid=eid)
+    return _finish_attachment(plan, g, max_expansion, compute_dtype)
+
+
+# -- plan cache -------------------------------------------------------------
+# Plan building is pure host preprocessing but costs minutes at products
+# scale (124M edges) — and it is rerun per *process* (harness subprocesses,
+# retries). Persist both directions' plans to one .npz keyed like the
+# partition cache (seed-free: plans are deterministic given the edge list).
+
+_PLAN_SCALARS = ("num_chunks", "num_groups", "n_src_pad", "n_dst_pad",
+                 "num_edges", "num_edges_total")
+
+
+def _plan_cache_path(cache_dir: str, cache_key: str, src: np.ndarray,
+                     dst: np.ndarray, dense_threshold: int) -> str:
+    h = 0
+    if len(src):
+        step = max(len(src) // 4096, 1)
+        h = int(
+            (np.asarray(src[::step], np.int64) * 31
+             + np.asarray(dst[::step], np.int64)).sum()
+        ) & 0xFFFFFFFF
+    name = (
+        f"{cache_key}_laneplan_v{_PLAN_CACHE_VERSION}_{SB}x{JG}x{RUNS_PER_CHUNK}"
+        f"_t{dense_threshold}_e{len(src)}_h{h:08x}.npz"
+    )
+    return os.path.join(cache_dir, name)
+
+
+def _plan_to_payload(prefix: str, plan: LanePlan) -> dict:
+    out = {
+        f"{prefix}_meta": np.asarray(plan.meta),
+        f"{prefix}_bucket": np.asarray(plan.bucket),
+        f"{prefix}_group": np.asarray(plan.group),
+        f"{prefix}_first": np.asarray(plan.first),
+        f"{prefix}_eid": np.asarray(plan.eid),
+        f"{prefix}_scalars": np.asarray(
+            [getattr(plan, k) for k in _PLAN_SCALARS], np.int64
+        ),
+        f"{prefix}_expansion": np.float64(plan.expansion),
+        f"{prefix}_rem_src": np.asarray(plan.rem_src, np.int64),
+        f"{prefix}_rem_dst": np.asarray(plan.rem_dst, np.int64),
+        f"{prefix}_rem_eid": np.asarray(plan.rem_eid, np.int64),
+    }
+    return out
+
+
+def _plan_from_payload(prefix: str, z) -> LanePlan:
+    scalars = {k: int(v) for k, v in zip(_PLAN_SCALARS, z[f"{prefix}_scalars"])}
+    return LanePlan(
+        meta=jnp.asarray(z[f"{prefix}_meta"]),
+        bucket=jnp.asarray(z[f"{prefix}_bucket"]),
+        group=jnp.asarray(z[f"{prefix}_group"]),
+        first=jnp.asarray(z[f"{prefix}_first"]),
+        eid=jnp.asarray(z[f"{prefix}_eid"]),
+        expansion=float(z[f"{prefix}_expansion"]),
+        rem_src=z[f"{prefix}_rem_src"],
+        rem_dst=z[f"{prefix}_rem_dst"],
+        rem_eid=z[f"{prefix}_rem_eid"],
+        **scalars,
+    )
+
+
 def attach_lane_plans(
     g: Graph, *, dense_threshold: int = 48, max_expansion: float = 2.5,
-    compute_dtype=None,
+    compute_dtype=None, cache_dir: Optional[str] = None,
+    cache_key: Optional[str] = None,
 ) -> Graph:
     """Returns ``g`` with lane plans attached to it and its reverse (when
     profitable); returns ``g`` unchanged if the graph tiles too sparsely.
@@ -90,18 +161,63 @@ def attach_lane_plans(
     ``compute_dtype`` sets the kernel's VMEM feature dtype (None → bf16,
     ~1e-2 relative error; ``jnp.float32`` keeps full precision at double
     the VMEM footprint — only viable for small D x N).
+
+    ``cache_dir``/``cache_key`` persist the built plans (both directions)
+    to an ``.npz`` content-hashed on the edge list — plan building costs
+    minutes per process at products scale, the reload costs seconds. The
+    ``max_expansion`` gate is applied at load time, so a cached
+    too-sparse plan is still (cheaply) rejected.
     """
-    fwd = _attach_one(g, dense_threshold, max_expansion, compute_dtype)
-    if fwd is None:
+    src_np, dst_np = g.edges_numpy()
+    path = None
+    if cache_dir and cache_key:
+        path = _plan_cache_path(cache_dir, cache_key, src_np, dst_np,
+                                dense_threshold)
+        if os.path.exists(path):
+            with np.load(path) as z:
+                fwd_plan = _plan_from_payload("f", z)
+                rev_plan = _plan_from_payload("r", z) if "r_scalars" in z else None
+            fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
+            if fwd is None:
+                return g
+            rev = g.reverse
+            if rev is not None and rev_plan is not None:
+                rev_att = _finish_attachment(rev_plan, rev, max_expansion,
+                                             compute_dtype)
+                rev = dataclasses.replace(rev, lane=rev_att)
+            return dataclasses.replace(g, lane=fwd, reverse=rev)
+
+    fwd_plan = build_plan(src_np, dst_np, g.num_src_nodes, g.num_dst_nodes,
+                          dense_threshold=dense_threshold)
+    if path is None and fwd_plan.expansion > max_expansion:
+        # uncached + unprofitable: skip the (equally expensive) reverse build
+        _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
         return g
     rev = g.reverse
+    rev_plan = None
     if rev is not None:
         # the reverse plan's eid slots carry FORWARD-canonical edge ids
         # (rev.eid maps reverse-canonical → forward-canonical) so that
         # plan-layout edge data — attention dropout masks, u_mul_e weights —
         # refers to the same edge in both layouts
         rev_eid = np.asarray(rev.eid)[: rev.num_edges]
-        rev_att = _attach_one(rev, dense_threshold, max_expansion,
-                              compute_dtype, eid=rev_eid)
+        rsrc, rdst = rev.edges_numpy()
+        rev_plan = build_plan(rsrc, rdst, rev.num_src_nodes, rev.num_dst_nodes,
+                              dense_threshold=dense_threshold, eid=rev_eid)
+    if path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = _plan_to_payload("f", fwd_plan)
+        if rev_plan is not None:
+            payload.update(_plan_to_payload("r", rev_plan))
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+
+    fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
+    if fwd is None:
+        return g
+    if rev is not None and rev_plan is not None:
+        rev_att = _finish_attachment(rev_plan, rev, max_expansion,
+                                     compute_dtype)
         rev = dataclasses.replace(rev, lane=rev_att)
     return dataclasses.replace(g, lane=fwd, reverse=rev)

@@ -123,3 +123,71 @@ def test_attach_and_dispatch_interpret(rng, monkeypatch):
         jax.grad(lambda x: jnp.sum(gspmm(g2, "copy_u", "mean", x=x) ** 2))(x)
     )
     np.testing.assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-3)
+
+
+def test_attach_plan_cache_roundtrip(rng, tmp_path):
+    """attach_lane_plans(cache_dir=...): the reloaded attachment must be
+    array-identical to the freshly built one (both directions, remainder
+    graph, rem_eid), and a second call must hit the cache file."""
+    import os
+
+    from dgl_tpu.kernels import attach_lane_plans
+
+    n, e = 1500, 25000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n)
+
+    fresh = attach_lane_plans(g, dense_threshold=8, max_expansion=100.0)
+    cached = attach_lane_plans(
+        g, dense_threshold=8, max_expansion=100.0,
+        cache_dir=str(tmp_path), cache_key="t",
+    )
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 1
+    mtime = os.path.getmtime(tmp_path / files[0])
+    reloaded = attach_lane_plans(
+        g, dense_threshold=8, max_expansion=100.0,
+        cache_dir=str(tmp_path), cache_key="t",
+    )
+    assert os.path.getmtime(tmp_path / files[0]) == mtime  # no rebuild
+
+    for a, b in [(fresh, cached), (fresh, reloaded)]:
+        for att_a, att_b in [(a.lane, b.lane), (a.reverse.lane, b.reverse.lane)]:
+            assert (att_a is None) == (att_b is None)
+            pa, pb = att_a.plan, att_b.plan
+            for f in ("meta", "bucket", "group", "first", "eid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(pa, f)), np.asarray(getattr(pb, f)), err_msg=f
+                )
+            assert pa.expansion == pytest.approx(pb.expansion)
+            assert (pa.num_chunks, pa.num_groups, pa.n_src_pad, pa.n_dst_pad,
+                    pa.num_edges, pa.num_edges_total) == (
+                pb.num_chunks, pb.num_groups, pb.n_src_pad, pb.n_dst_pad,
+                pb.num_edges, pb.num_edges_total)
+            if att_a.remainder is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(att_a.remainder.src), np.asarray(att_b.remainder.src))
+                np.testing.assert_array_equal(
+                    np.asarray(att_a.rem_eid), np.asarray(att_b.rem_eid))
+
+
+def test_attach_plan_cache_rejects_changed_graph(rng, tmp_path):
+    """A structurally different graph under the same cache key must not
+    reuse the stale plan (content hash in the filename)."""
+    import os
+
+    from dgl_tpu.kernels import attach_lane_plans
+
+    n, e = 800, 12000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g1 = dgl_tpu.from_edges(src, dst, n)
+    attach_lane_plans(g1, dense_threshold=8, max_expansion=100.0,
+                      cache_dir=str(tmp_path), cache_key="t")
+    src2 = rng.integers(0, n, e)  # same count, different content
+    g2 = dgl_tpu.from_edges(src2, dst, n)
+    attach_lane_plans(g2, dense_threshold=8, max_expansion=100.0,
+                      cache_dir=str(tmp_path), cache_key="t")
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 2
