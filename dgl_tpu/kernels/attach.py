@@ -26,11 +26,67 @@ import jax.numpy as jnp
 from ..graph.graph import Graph, from_edges
 from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan, build_plan
 
-__all__ = ["LaneAttachment", "attach_lane_plans"]
+__all__ = ["LaneAttachment", "attach_lane_plans", "choose_plan_config"]
 
 # bump when the LanePlan layout or build_plan semantics change — stale cache
 # files are then simply never matched (keyed into the filename)
-_PLAN_CACHE_VERSION = 1
+_PLAN_CACHE_VERSION = 2
+
+# -- (window, dense_threshold) auto-tuner -------------------------------------
+# Per-pass cost model, v5e constants (see docs/KERNEL_SWEEP.md; re-calibrate
+# with tools/calibrate_lane.py when hardware numbers move):
+#   lane slot:      _SLOT_NS · (1 + _SUBGATHER_FRAC·(window/128 − 1))
+#   remainder edge: _REM_NS   (XLA row-gather wall ~87M rows/s, ≥1 gather +
+#                              segment reduce per pass; attention pays ~2×)
+# NOTE: changing these constants changes the tuner's choice — bump
+# _PLAN_CACHE_VERSION on recalibration so 'auto'-keyed cache files refresh.
+_SLOT_NS = 2.7
+_SUBGATHER_FRAC = 0.18
+_REM_NS = 10.0
+_WINDOWS = (128, 256, 512, 1024)
+_THRESHOLDS = (8, 16, 24, 32, 48, 96)
+
+
+def choose_plan_config(
+    src: np.ndarray, dst: np.ndarray, *,
+    windows=None, thresholds=None,
+) -> tuple:
+    """Pick (window, dense_threshold) minimizing modeled per-pass cost.
+
+    Counting only — no plan is built. Pair counts are computed once at the
+    finest window (128) and aggregated upward (windows nest), so the scan
+    over the config grid is O(#pairs), not O(E)."""
+    windows = _WINDOWS if windows is None else tuple(windows)
+    thresholds = _THRESHOLDS if thresholds is None else tuple(thresholds)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    e = len(src)
+    if e == 0:
+        return windows[0], thresholds[0], {"cost_ns": 0.0}
+    base_key = (dst // JG) * (1 << 40) + src // SB  # (jg, sb128) packed
+    keys, cnt = np.unique(base_key, return_counts=True)
+    best = None
+    for w in windows:
+        k_sub = w // SB
+        if k_sub > 1:
+            pk = (keys >> 40) * (1 << 40) + (keys & ((1 << 40) - 1)) // k_sub
+            _, inv = np.unique(pk, return_inverse=True)
+            cw = np.bincount(inv, weights=cnt).astype(np.int64)
+        else:
+            cw = cnt
+        slot_ns = _SLOT_NS * (1.0 + _SUBGATHER_FRAC * (k_sub - 1))
+        for thr in thresholds:
+            dense = cw >= thr
+            slots = int((-(-cw[dense] // SB) * SB).sum())
+            rem = e - int(cw[dense].sum())
+            cost = slots * slot_ns + rem * _REM_NS
+            if best is None or cost < best[2]["cost_ns"]:
+                best = (w, thr, {
+                    "cost_ns": cost, "slots": slots, "rem_edges": rem,
+                    "rem_frac": rem / e,
+                    "expansion": slots / max(e - rem, 1),
+                })
+    return best
 
 
 @jax.tree_util.register_pytree_node_class
@@ -57,7 +113,8 @@ def _finish_attachment(plan: LanePlan, g: Graph, max_expansion: float,
                        compute_dtype=None) -> Optional[LaneAttachment]:
     rem_frac = len(plan.rem_src) / max(g.num_edges, 1)
     print(
-        f"[dgl_tpu.kernels] lane plan: expansion={plan.expansion:.2f} "
+        f"[dgl_tpu.kernels] lane plan: window={plan.window} "
+        f"expansion={plan.expansion:.2f} "
         f"remainder={rem_frac:.1%} chunks={plan.num_chunks}",
         file=sys.stderr,
     )
@@ -81,12 +138,25 @@ def _finish_attachment(plan: LanePlan, g: Graph, max_expansion: float,
                           compute_dtype=compute_dtype, rem_eid=rem_eid)
 
 
-def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
-                compute_dtype=None, eid: Optional[np.ndarray] = None
-                ) -> Optional[LaneAttachment]:
+def _tuned_build(src, dst, num_src, num_dst, dense_threshold, window,
+                 eid=None) -> LanePlan:
+    """build_plan with (window, dense_threshold) auto-tuned when either is
+    None (forced values constrain the tuner's grid to that axis)."""
+    w, thr, _ = choose_plan_config(
+        src, dst,
+        windows=None if window is None else (window,),
+        thresholds=None if dense_threshold is None else (dense_threshold,),
+    )
+    return build_plan(src, dst, num_src, num_dst, dense_threshold=thr,
+                      eid=eid, window=w)
+
+
+def _attach_one(g: Graph, dense_threshold, max_expansion: float,
+                compute_dtype=None, eid: Optional[np.ndarray] = None,
+                window=None) -> Optional[LaneAttachment]:
     src, dst = g.edges_numpy()
-    plan = build_plan(src, dst, g.num_src_nodes, g.num_dst_nodes,
-                      dense_threshold=dense_threshold, eid=eid)
+    plan = _tuned_build(src, dst, g.num_src_nodes, g.num_dst_nodes,
+                        dense_threshold, window, eid=eid)
     return _finish_attachment(plan, g, max_expansion, compute_dtype)
 
 
@@ -97,11 +167,11 @@ def _attach_one(g: Graph, dense_threshold: int, max_expansion: float,
 # partition cache (seed-free: plans are deterministic given the edge list).
 
 _PLAN_SCALARS = ("num_chunks", "num_groups", "n_src_pad", "n_dst_pad",
-                 "num_edges", "num_edges_total")
+                 "num_edges", "num_edges_total", "window")
 
 
 def _plan_cache_path(cache_dir: str, cache_key: str, src: np.ndarray,
-                     dst: np.ndarray, dense_threshold: int) -> str:
+                     dst: np.ndarray, dense_threshold, window) -> str:
     h = 0
     if len(src):
         step = max(len(src) // 4096, 1)
@@ -111,7 +181,7 @@ def _plan_cache_path(cache_dir: str, cache_key: str, src: np.ndarray,
         ) & 0xFFFFFFFF
     name = (
         f"{cache_key}_laneplan_v{_PLAN_CACHE_VERSION}_{SB}x{JG}x{RUNS_PER_CHUNK}"
-        f"_t{dense_threshold}_e{len(src)}_h{h:08x}.npz"
+        f"_w{window or 'a'}_t{dense_threshold or 'a'}_e{len(src)}_h{h:08x}.npz"
     )
     return os.path.join(cache_dir, name)
 
@@ -151,12 +221,17 @@ def _plan_from_payload(prefix: str, z) -> LanePlan:
 
 
 def attach_lane_plans(
-    g: Graph, *, dense_threshold: int = 48, max_expansion: float = 2.5,
+    g: Graph, *, dense_threshold: Optional[int] = None,
+    window: Optional[int] = None, max_expansion: float = 2.5,
     compute_dtype=None, cache_dir: Optional[str] = None,
     cache_key: Optional[str] = None,
 ) -> Graph:
     """Returns ``g`` with lane plans attached to it and its reverse (when
     profitable); returns ``g`` unchanged if the graph tiles too sparsely.
+
+    ``window``/``dense_threshold`` default to auto-tuned per direction by
+    :func:`choose_plan_config` (counting cost model); pass explicit values
+    to force either axis.
 
     ``compute_dtype`` sets the kernel's VMEM feature dtype (None → bf16,
     ~1e-2 relative error; ``jnp.float32`` keeps full precision at double
@@ -172,7 +247,7 @@ def attach_lane_plans(
     path = None
     if cache_dir and cache_key:
         path = _plan_cache_path(cache_dir, cache_key, src_np, dst_np,
-                                dense_threshold)
+                                dense_threshold, window)
         if os.path.exists(path):
             with np.load(path) as z:
                 fwd_plan = _plan_from_payload("f", z)
@@ -187,8 +262,8 @@ def attach_lane_plans(
                 rev = dataclasses.replace(rev, lane=rev_att)
             return dataclasses.replace(g, lane=fwd, reverse=rev)
 
-    fwd_plan = build_plan(src_np, dst_np, g.num_src_nodes, g.num_dst_nodes,
-                          dense_threshold=dense_threshold)
+    fwd_plan = _tuned_build(src_np, dst_np, g.num_src_nodes, g.num_dst_nodes,
+                            dense_threshold, window)
     if path is None and fwd_plan.expansion > max_expansion:
         # uncached + unprofitable: skip the (equally expensive) reverse build
         _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
@@ -202,8 +277,9 @@ def attach_lane_plans(
         # refers to the same edge in both layouts
         rev_eid = np.asarray(rev.eid)[: rev.num_edges]
         rsrc, rdst = rev.edges_numpy()
-        rev_plan = build_plan(rsrc, rdst, rev.num_src_nodes, rev.num_dst_nodes,
-                              dense_threshold=dense_threshold, eid=rev_eid)
+        rev_plan = _tuned_build(rsrc, rdst, rev.num_src_nodes,
+                                rev.num_dst_nodes, dense_threshold, window,
+                                eid=rev_eid)
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)
         payload = _plan_to_payload("f", fwd_plan)

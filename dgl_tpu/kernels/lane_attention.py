@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan
+from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan, _window_gather
 
 __all__ = ["lane_gat_agg", "lane_attn_fits"]
 
@@ -98,7 +98,8 @@ def _hash_keep(eid_i32, seed_i32, keep: float):
 
 
 def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
-                 negative_slope: float, keep: float, bf16_pack: bool):
+                 negative_slope: float, keep: float, bf16_pack: bool,
+                 window: int):
     has_drop = keep < 1.0
 
     def kernel(*refs):
@@ -116,22 +117,13 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
 
         def run_body(r, _):
             b = bucket_ref[0, r // 128, r % 128]
-            start = pl.multiple_of(b * SB, SB)
-            fb = f_ref[0, :, pl.ds(start, SB)]  # (dk, 128)
-            meta = meta_ref[0, r, :]  # packed src_lo | dst_lo<<7
-            slo = jnp.bitwise_and(meta, 127)
-            if bf16_pack:
-                xb32 = pltpu.bitcast(fb, jnp.float32)
-                idx = jnp.broadcast_to(slo[None, :], (dk // 2, SB))
-                msg = pltpu.bitcast(jnp.take_along_axis(xb32, idx, axis=1), fb.dtype)
-            else:
-                idx = jnp.broadcast_to(slo[None, :], (dk, SB))
-                msg = jnp.take_along_axis(fb, idx, axis=1)
-            bsw = bs_ref[0, :, pl.ds(start, SB)]  # (nb, 128)
-            bss = jnp.take_along_axis(
-                bsw, jnp.broadcast_to(slo[None, :], (nb, SB)), axis=1
-            )
-            dlo = jax.lax.shift_right_logical(meta, 7)
+            meta = meta_ref[0, r, :]  # packed src_lo | dst_lo<<10
+            slo = jnp.bitwise_and(meta, window - 1)
+            msg = _window_gather(lambda off: f_ref[0, :, pl.ds(off, SB)],
+                                 b, slo, dk, window, bf16_pack)
+            bss = _window_gather(lambda off: bs_ref[0, :, pl.ds(off, SB)],
+                                 b, slo, nb, window, False)
+            dlo = jax.lax.shift_right_logical(meta, 10)
             cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
             ohb = dlo[:, None] == cols  # (128, JG); padded slots: all-false row
             # group-side values per slot: one small MXU matmul reusing the
@@ -266,7 +258,7 @@ def _attn_pass(pass_kind: str, plan: LanePlan, f, bs, gs, seed, *, dk: int,
     )
     out = pl.pallas_call(
         _make_kernel(pass_kind, nb, ng, dk, rows_pad, negative_slope, keep,
-                     bf16_pack),
+                     bf16_pack, plan.window),
         out_shape=jax.ShapeDtypeStruct(
             (h, plan.num_groups, rows_pad, JG), jnp.float32
         ),

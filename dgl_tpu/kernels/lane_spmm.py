@@ -27,6 +27,16 @@ v2 capabilities:
 * ``eid`` slot map: canonical edge id per plan slot, for permuting edge
   data and for the attention kernels built on this layout.
 The transpose plan (built from the reverse edge list) serves backward.
+
+v3: **multi-window runs.** Low-locality graphs (arxiv) put a third of
+their edges in (group, 128-bucket) pairs of <8 edges — unservable at
+128-slot run granularity. A plan built with ``window = K·128`` groups
+edges by (dst group, K·128-node src window) instead: tile density rises
+(measured arxiv: 57% sparse remainder at W=128 → 0% at W=1024, expansion
+2.36), at the cost of K sub-bucket lane gathers + a K-way select per run
+(the one-hot MXU scatter — the run's FLOP cost — does not grow).
+``attach_lane_plans`` picks (window, dense_threshold) per graph with a
+counting cost model.
 """
 
 from __future__ import annotations
@@ -58,14 +68,15 @@ class LanePlan:
     """Host-precomputed execution plan for one graph direction.
 
     ``meta`` packs both per-slot offsets into one word —
-    ``src_lo | dst_lo << 7`` (src offset within the 128-bucket: 7 bits; dst
-    offset within the JG group incl. the JG sentinel: 11 bits). Kernel cost
-    is dominated by streaming the per-slot metadata from HBM, so halving
-    the bytes per slot is a direct speedup.
+    ``src_lo | dst_lo << 10`` (src offset within the gather window: up to
+    10 bits; dst offset within the JG group incl. the JG sentinel: 11
+    bits). Kernel cost is dominated by streaming the per-slot metadata
+    from HBM, so packing both offsets into 4 bytes/slot is a direct
+    speedup over separate arrays.
     """
 
-    meta: jnp.ndarray  # (chunks, R, 128) int32 — src_lo | dst_lo << 7
-    bucket: jnp.ndarray  # (chunks, 8, 128) int32 — src bucket id per run (row-major)
+    meta: jnp.ndarray  # (chunks, R, 128) int32 — src_lo | dst_lo << 10
+    bucket: jnp.ndarray  # (chunks, 8, 128) int32 — src window id per run (row-major)
     group: jnp.ndarray  # (chunks,) int32 — dst group id per chunk
     first: jnp.ndarray  # (chunks,) int32 — 1 if first chunk of its group
     eid: jnp.ndarray  # (chunks, R, 128) int32 — canonical edge id (-1 = pad)
@@ -80,12 +91,13 @@ class LanePlan:
     rem_dst: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int64))
     rem_eid: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int64))
     num_edges_total: int = 0
+    window: int = SB  # gather window width (K = window // 128 sub-buckets)
 
     def tree_flatten(self):
         leaves = (self.meta, self.bucket, self.group, self.first, self.eid)
         aux = (self.num_chunks, self.num_groups, self.n_src_pad, self.n_dst_pad,
                self.num_edges, self.expansion, self.rem_src, self.rem_dst,
-               self.rem_eid, self.num_edges_total)
+               self.rem_eid, self.num_edges_total, self.window)
         return leaves, aux
 
     @classmethod
@@ -100,22 +112,29 @@ def build_plan(
     num_dst: int,
     dense_threshold: int = 32,
     eid: Optional[np.ndarray] = None,
+    window: int = SB,
 ) -> LanePlan:
     """Vectorized host-side planner; ``eid`` maps input edge order to the
-    caller's canonical ids (default: positional)."""
+    caller's canonical ids (default: positional). ``window`` is the gather
+    window width (a power-of-two multiple of 128, ≤ 1024): wider windows
+    merge sparse (group, bucket) pairs into servable runs at the cost of
+    ``window/128`` sub-gathers per run in the kernel."""
+    if window % SB or window > 1024 or window & (window - 1):
+        raise ValueError(f"window must be a power-of-two multiple of {SB} "
+                         f"≤ 1024, got {window}")
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     e_total = len(src)
     eid_in = np.arange(e_total, dtype=np.int64) if eid is None else np.asarray(eid, np.int64)
-    n_src_pad = -(-num_src // SB) * SB
+    n_src_pad = -(-num_src // window) * window
     num_groups = max(-(-num_dst // JG), 1)
     n_dst_pad = num_groups * JG
 
     jg = dst // JG
-    sb = src // SB
+    sb = src // window
     # group-sort edges by (jg, sb): O(E) native counting sort over the pair
     # key (the key space is num_groups × num_buckets ≈ small)
-    n_buckets = n_src_pad // SB + 1
+    n_buckets = n_src_pad // window + 1
     pair_key_all = jg * n_buckets + sb
     from ..csrc.native import build_csr
 
@@ -128,7 +147,7 @@ def build_plan(
     # hybrid split: (jg, sb) pairs with too few edges pad terribly (a
     # 3-edge tile still costs a 128-run); route them to the XLA row-gather
     # path instead and keep only dense pairs in the plan.
-    pair_key = jg_o * (n_src_pad // SB + 1) + sb_o
+    pair_key = jg_o * n_buckets + sb_o
     boundaries = np.concatenate([[0], np.where(np.diff(pair_key))[0] + 1, [e_total]])
     counts0 = np.diff(boundaries)
     dense_pair = counts0 >= dense_threshold
@@ -160,7 +179,7 @@ def build_plan(
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         within = np.arange(e) - np.repeat(starts, counts)
         pos = np.repeat(pad_starts, counts) + within
-        src_lo_flat[pos] = (src_o % SB).astype(np.int32)
+        src_lo_flat[pos] = (src_o % window).astype(np.int32)
         dst_lo_flat[pos] = (dst_o % JG).astype(np.int32)
         eid_flat[pos] = eid_o
         # per-run bucket / group (runs of a pair share its bucket and group)
@@ -184,7 +203,7 @@ def build_plan(
     chunk_first = np.zeros(num_chunks, np.int32)
     chunk_first[chunk_goffs[:-1]] = 1
 
-    m_arr = np.full((num_chunks, R, SB), JG << 7, np.int32)
+    m_arr = np.full((num_chunks, R, SB), JG << 10, np.int32)
     e_arr = np.full((num_chunks, R, SB), -1, np.int64)
     b_arr = np.zeros((num_chunks, 8, 128), np.int32)
     if n_runs:
@@ -193,7 +212,7 @@ def build_plan(
         run_chunk = np.repeat(chunk_goffs[:-1], runs_per_group) + within_grp // R
         run_slot = within_grp % R
         m_arr[run_chunk, run_slot] = (
-            src_lo_flat | (dst_lo_flat.astype(np.int32) << 7)
+            src_lo_flat | (dst_lo_flat.astype(np.int32) << 10)
         ).reshape(n_runs, SB)
         e_arr[run_chunk, run_slot] = eid_flat.reshape(n_runs, SB)
         b_arr[run_chunk, run_slot // 128, run_slot % 128] = run_bucket
@@ -214,6 +233,7 @@ def build_plan(
         rem_dst=rem_dst,
         rem_eid=rem_eid,
         num_edges_total=e_total,
+        window=window,
     )
 
 
@@ -242,7 +262,40 @@ def _choose_slab(d_k: int, n_src_pad: int, itemsize: int) -> Optional[int]:
     return min(slab, d_k)
 
 
-def _make_kernel(has_w: bool, bf16_pack: bool):
+def _window_gather(load, b, slo, d_feat, window: int, bf16_pack: bool):
+    """Gather one run's 128 source columns from its ``window``-wide gather
+    window: K = window/128 sub-bucket lane gathers + a K-way select (the
+    one-hot MXU scatter that follows dominates run cost, so K>1 trades
+    cheap VPU work for plan density). ``load(col_offset)`` returns the
+    (d_feat, 128) block at that absolute column offset."""
+    k_sub = window // SB
+    lo = jnp.bitwise_and(slo, 127)
+    start0 = pl.multiple_of(b * window, window)
+    msg = None
+    for k in range(k_sub):
+        xb = load(start0 + k * SB)  # (slab, 128)
+        if bf16_pack:
+            # Mosaic's lane gather requires index bitwidth == data
+            # bitwidth and take_along_axis upcasts indices to i32 — so
+            # view bf16 sublane PAIRS as f32, gather whole columns (a
+            # column is one node's features, so intra-column bit packing
+            # is invisible), and view back.
+            xb32 = pltpu.bitcast(xb, jnp.float32)  # (slab//2, 128)
+            idx = jnp.broadcast_to(lo[None, :], (d_feat // 2, SB))
+            g32 = jnp.take_along_axis(xb32, idx, axis=1)
+            gk = pltpu.bitcast(g32, xb.dtype)  # (slab, 128)
+        else:
+            idx = jnp.broadcast_to(lo[None, :], (d_feat, SB))
+            gk = jnp.take_along_axis(xb, idx, axis=1)  # lane gather
+        if k_sub == 1:
+            return gk
+        sel = jax.lax.shift_right_logical(slo, 7) == k  # (128,)
+        gk = jnp.where(sel[None, :], gk, jnp.zeros_like(gk))
+        msg = gk if msg is None else msg + gk
+    return msg
+
+
+def _make_kernel(has_w: bool, bf16_pack: bool, window: int):
     def kernel(*refs):
         if has_w:
             group_ref, first_ref, bucket_ref, meta_ref, w_ref, x_ref, o_ref = refs
@@ -258,26 +311,13 @@ def _make_kernel(has_w: bool, bf16_pack: bool):
 
         def run_body(r, _):
             b = bucket_ref[0, r // 128, r % 128]
-            start = pl.multiple_of(b * SB, SB)
-            xb = x_ref[:, pl.ds(start, SB)]  # (slab, 128)
-            meta = meta_ref[0, r, :]  # (128,) packed src_lo | dst_lo<<7
-            slo = jnp.bitwise_and(meta, 127)
-            if bf16_pack:
-                # Mosaic's lane gather requires index bitwidth == data
-                # bitwidth and take_along_axis upcasts indices to i32 — so
-                # view bf16 sublane PAIRS as f32, gather whole columns (a
-                # column is one node's features, so intra-column bit packing
-                # is invisible), and view back.
-                xb32 = pltpu.bitcast(xb, jnp.float32)  # (slab//2, 128)
-                idx = jnp.broadcast_to(slo[None, :], (d_feat // 2, SB))
-                g32 = jnp.take_along_axis(xb32, idx, axis=1)
-                msg = pltpu.bitcast(g32, xb.dtype)  # (slab, 128)
-            else:
-                idx = jnp.broadcast_to(slo[None, :], (d_feat, SB))
-                msg = jnp.take_along_axis(xb, idx, axis=1)  # lane gather
+            meta = meta_ref[0, r, :]  # (128,) packed src_lo | dst_lo<<10
+            slo = jnp.bitwise_and(meta, window - 1)
+            msg = _window_gather(lambda off: x_ref[:, pl.ds(off, SB)],
+                                 b, slo, d_feat, window, bf16_pack)
             if has_w:
                 msg = msg * w_ref[0, r, :][None, :].astype(msg.dtype)
-            dlo = jax.lax.shift_right_logical(meta, 7)  # (128,) in [0, JG]
+            dlo = jax.lax.shift_right_logical(meta, 10)  # (128,) in [0, JG]
             cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
             oh = (dlo[:, None] == cols).astype(msg.dtype)  # (128, JG)
             o_ref[0] = o_ref[0] + jnp.dot(msg, oh, preferred_element_type=jnp.float32)
@@ -364,7 +404,7 @@ def lane_spmm(
         ),
     )
     out = pl.pallas_call(
-        _make_kernel(has_w, bf16_pack),
+        _make_kernel(has_w, bf16_pack, plan.window),
         out_shape=jax.ShapeDtypeStruct((plan.num_groups, d_k, JG), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

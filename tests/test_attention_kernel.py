@@ -174,3 +174,43 @@ def test_lane_gat_hybrid_remainder_matches_reference(rng, keep):
             np.asarray(gl), np.asarray(gr), rtol=5e-4, atol=5e-4,
             err_msg=f"hybrid grad mismatch: {name}",
         )
+
+
+@pytest.mark.parametrize("window", [256, 1024])
+def test_lane_gat_multi_window_forward_and_grads(rng, window):
+    """Wide-window plans (K sub-bucket gathers) through the fused attention
+    kernel: forward and all three gradients must match the oracle."""
+    n, e, h, d = 1500, 9000, 2, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = attach_lane_plans(
+        dgl_tpu.from_edges(src, dst, n), dense_threshold=1,
+        window=window, max_expansion=1e9,
+    )
+    assert g.lane.plan.window == window
+    assert len(g.lane.plan.rem_src) == 0
+    src_c, dst_c = g.edges_numpy()
+    v = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+
+    def loss_lane(v, a_s, a_d):
+        out = lane_gat_agg(g.lane.plan, g.reverse.lane.plan, v, a_s, a_d, n,
+                           compute_dtype=jnp.float32, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(v, a_s, a_d):
+        out = _ref_gat(src_c, dst_c, n, v, a_s, a_d, 0.2, 1.0, 0)
+        return jnp.sum((out - tgt) ** 2)
+
+    out = lane_gat_agg(g.lane.plan, g.reverse.lane.plan, v, a_s, a_d, n,
+                       compute_dtype=jnp.float32, interpret=True)
+    ref = _ref_gat(src_c, dst_c, n, v, a_s, a_d, 0.2, 1.0, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    gl = jax.grad(loss_lane, argnums=(0, 1, 2))(v, a_s, a_d)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(v, a_s, a_d)
+    for a, b, name in zip(gl, gr, ("v", "a_src", "a_dst")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
