@@ -123,6 +123,12 @@ def _inv_deg(g: Graph, dtype):
 # -- Pallas lane-kernel dispatch (copy_u × sum/mean) -----------------------
 
 
+def _lane_interpret() -> bool:
+    # run the Pallas kernel in interpret mode off-TPU (CPU e2e gates); same
+    # escape hatch GATConv honors (nn/conv.py)
+    return bool(os.environ.get("DGL_TPU_LANE_INTERPRET"))
+
+
 def _lane_eligible(g: Graph, x, op: str, reduce: str) -> bool:
     return (
         g.lane is not None
@@ -131,7 +137,7 @@ def _lane_eligible(g: Graph, x, op: str, reduce: str) -> bool:
         and x is not None
         and x.ndim == 2
         and x.shape[1] <= 32
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or _lane_interpret())
         and not os.environ.get("DGL_TPU_NO_LANE")
     )
 
@@ -142,7 +148,8 @@ def _lane_forward_sum(g: Graph, x):
 
     att = g.lane
     cd = att.compute_dtype if att.compute_dtype is not None else jnp.bfloat16
-    out = lane_spmm(att.plan, x, compute_dtype=cd)[: g.num_dst_nodes]
+    out = lane_spmm(att.plan, x, compute_dtype=cd,
+                    interpret=_lane_interpret())[: g.num_dst_nodes]
     if att.remainder is not None:
         rem = att.remainder
         msg = jnp.take(x, jnp.minimum(rem.src, rem.num_src_nodes - 1), axis=0)
