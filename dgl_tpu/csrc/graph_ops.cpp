@@ -359,12 +359,24 @@ static void grow_partition(const Csr &g, const std::vector<int64_t> &vw,
       }
     }
   }
-  // leftovers: attach to a neighbor's part, else round-robin
+  // leftovers: attach to the LIGHTEST neighboring part (unweighted attach
+  // here was the source of multi-x imbalance: when growth exhausts the k
+  // seeds early, whole regions glommed onto one neighbor part), else the
+  // globally lightest part
+  std::vector<int64_t> pw(k, 0);
+  for (int64_t v = 0; v < n; ++v)
+    if (part[v] >= 0) pw[part[v]] += vw[v];
   for (int64_t v = 0; v < n; ++v) {
     if (part[v] >= 0) continue;
-    for (int64_t q = g.indptr[v]; q < g.indptr[v + 1]; ++q)
-      if (part[g.adj[q]] >= 0) { part[v] = part[g.adj[q]]; break; }
-    if (part[v] < 0) part[v] = (int64_t)rng.bounded((uint64_t)k);
+    int64_t best = -1;
+    for (int64_t q = g.indptr[v]; q < g.indptr[v + 1]; ++q) {
+      int64_t pu = part[g.adj[q]];
+      if (pu >= 0 && (best < 0 || pw[pu] < pw[best])) best = pu;
+    }
+    if (best < 0)
+      best = (int64_t)(std::min_element(pw.begin(), pw.end()) - pw.begin());
+    part[v] = best;
+    pw[best] += vw[v];
   }
 }
 
@@ -388,11 +400,21 @@ static void refine(const Csr &g, const std::vector<int64_t> &vw, int64_t k,
         if (conn[pu] == 0) touched.push_back(pu);
         conn[pu] += g.w[q];
       }
-      int64_t best = pv, best_gain = 0;
+      // over-cap parts must shed: accept the least-bad feasible move
+      // (negative gain allowed) so refine also repairs imbalance instead
+      // of only preserving it
+      bool over = pw[pv] > cap;
+      int64_t best = pv;
+      int64_t best_gain = over ? INT64_MIN : 0;
       for (int64_t pu : touched) {
         if (pu == pv) continue;
         int64_t gain = conn[pu] - conn[pv];
         if (gain > best_gain && pw[pu] + vw[v] <= cap) { best = pu; best_gain = gain; }
+      }
+      if (over && best == pv) {
+        int64_t lightest =
+            (int64_t)(std::min_element(pw.begin(), pw.end()) - pw.begin());
+        if (lightest != pv && pw[lightest] + vw[v] <= cap) best = lightest;
       }
       if (best != pv) {
         pw[pv] -= vw[v];

@@ -23,6 +23,12 @@ import numpy as np
 
 __all__ = ["partition_assignment", "get_partition_list"]
 
+# bump when partitioner semantics/quality change — keyed into the cache
+# filename so stale assignments from older code are never reused
+# (v2: grow-phase leftover attach weight-capped + refine sheds over-cap
+# parts; balance 8.3 -> 1.08 at arxiv k=165, cut 73% -> 64%)
+_PART_CACHE_VERSION = 2
+
 
 def _label_propagation_partition(
     src: np.ndarray,
@@ -110,7 +116,8 @@ def partition_assignment(
             ) & 0xFFFFFFFF
         path = os.path.join(
             cache_dir,
-            f"{cache_key}_part_{k}_{method}_s{seed}_e{len(src)}_h{h:08x}.npy",
+            f"{cache_key}_part_v{_PART_CACHE_VERSION}_{k}_{method}_s{seed}"
+            f"_e{len(src)}_h{h:08x}.npy",
         )
         if os.path.exists(path):
             return np.load(path)
