@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["LanePlan", "build_plan", "lane_spmm", "plan_layout_edata"]
+__all__ = ["LanePlan", "build_plan", "lane_spmm", "plan_layout_edata",
+           "slot_ns", "lane_profitable"]
 
 SB = 128  # src bucket width (lane-gather window)
 JG = 1024  # dst nodes per output group
@@ -60,6 +61,35 @@ RUNS_PER_CHUNK = 256  # runs (of 128 edges) per grid step
 # VMEM budget for the feature-major operand (per pipeline buffer ×2 when
 # the slab grid is active); v5e has ~16MB more-or-less usable
 _VMEM_X_BUDGET = 11 * (1 << 20)
+
+# -- per-slot cost model ------------------------------------------------------
+# slot cost = SLOT_NS_BASE (meta streaming + control) + SLOT_NS_PER8 per 8
+# f32-equivalent feature rows (lane gather ∝ D on the VPU, one-hot scatter
+# ∝ D·JG on the MXU — the MXU term dominates growth). Anchored at the
+# round-1 v5e measurement of 2.7 ns/slot at D=16; re-fit with
+# tools/calibrate_lane.py when hardware numbers move. REM_NS is the XLA
+# hybrid path's per-edge cost (row-gather wall ~87M rows/s + segment
+# reduce), near-independent of D up to 128 f32 (per-row latency bound).
+SLOT_NS_BASE = 1.8
+SLOT_NS_PER8 = 0.45
+REM_NS = 10.0
+
+
+def slot_ns(d: int, window: int = SB) -> float:
+    """Modeled lane-kernel nanoseconds per plan slot at feature width d."""
+    sub = 1.0 + 0.18 * (window // SB - 1)  # K-way sub-gather overhead
+    return SLOT_NS_BASE + SLOT_NS_PER8 * (-(-int(d) // 8)) * sub
+
+
+def lane_profitable(plan: "LanePlan", d: int, itemsize: int = 2) -> bool:
+    """True when running this plan's served edges through the lane kernel
+    is modeled cheaper than the XLA row-gather path AND the feature-major
+    operand fits the VMEM slab budget. Replaces the old hard D≤32 cap:
+    break-even width scales with the plan's padding expansion (e.g.
+    expansion 1.22 → profitable up to D≈112 f32-equivalent)."""
+    if _choose_slab(int(d), plan.n_src_pad, itemsize) is None:
+        return False
+    return plan.expansion * slot_ns(d, plan.window) < REM_NS
 
 
 @jax.tree_util.register_pytree_node_class

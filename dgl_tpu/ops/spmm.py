@@ -130,16 +130,24 @@ def _lane_interpret() -> bool:
 
 
 def _lane_eligible(g: Graph, x, op: str, reduce: str) -> bool:
-    return (
+    if not (
         g.lane is not None
         and op in ("copy_u", "copy_lhs")
         and reduce in ("sum", "mean")
         and x is not None
         and x.ndim == 2
-        and x.shape[1] <= 32
         and (jax.default_backend() == "tpu" or _lane_interpret())
         and not os.environ.get("DGL_TPU_NO_LANE")
-    )
+    ):
+        return False
+    # cost-model break-even instead of a fixed width cap: the lane kernel's
+    # per-slot cost grows with D while the XLA row-gather wall is
+    # width-independent, so profitability is a property of (expansion, D)
+    from ..kernels.lane_spmm import lane_profitable
+
+    att = g.lane
+    cd = att.compute_dtype if att.compute_dtype is not None else jnp.bfloat16
+    return lane_profitable(att.plan, x.shape[1], jnp.dtype(cd).itemsize)
 
 
 def _lane_forward_sum(g: Graph, x):
@@ -175,8 +183,17 @@ def _lane_copy_u_bwd(reduce, res, g_out):
     if reduce == "mean":
         g_out = g_out * _inv_deg(g, g_out.dtype)[:, None]
     rev = g.reverse
-    # transpose SpMM over the reverse graph — lane kernel again if attached
-    if rev is not None and rev.lane is not None and g_out.shape[1] <= 64:
+    # transpose SpMM over the reverse graph — lane kernel again if profitable
+    from ..kernels.lane_spmm import lane_profitable
+
+    if (
+        rev is not None
+        and rev.lane is not None
+        and lane_profitable(
+            rev.lane.plan, g_out.shape[1],
+            jnp.dtype(rev.lane.compute_dtype or jnp.bfloat16).itemsize,
+        )
+    ):
         grad_x = _lane_forward_sum(rev, g_out)
     elif rev is not None:
         msg = jnp.take(g_out, jnp.minimum(rev.src, rev.num_src_nodes - 1), axis=0)
