@@ -71,16 +71,16 @@ WORKLOADS = [
     ("reddit_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--runs", "1",
-               "--epochs", "150"]},
+               "--epochs", "40"]},
      {"time_args": ["--runs", "1", "--epochs", "60"]}),
     ("arxiv_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "2",
-               "--epochs", "250"]},
+      "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "1",
+               "--epochs", "120"]},
      {"time_args": ["--runs", "1", "--epochs", "100"]}),
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--runs", "2", "--epochs", "300"]},
+      "full": ["--runs", "1", "--epochs", "120"]},
      {"time_args": ["--runs", "1", "--epochs", "100"]}),
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
@@ -88,7 +88,7 @@ WORKLOADS = [
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "3"]}),
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1"]}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],

@@ -37,13 +37,19 @@ ROW_ORDER = [
     "products_sage",
 ]
 
+# Health = steady-state DISPATCH latency of one cached jit (the thing a
+# training epoch is made of), NOT compile latency: a fresh-process compile
+# rides the host CPU + tunnel and can sit at ~800ms even when the chip is
+# perfectly healthy (measured 2026-08-18: compile 837ms, dispatch 0.03ms).
 PROBE = (
-    "import time; t0=time.time(); import jax, jax.numpy as jnp;"
+    "import time; import jax, jax.numpy as jnp;"
     "x=jnp.ones((1024,1024),jnp.bfloat16);"
-    "r=jax.jit(lambda a:a@a)(x); r.block_until_ready();"
+    "f=jax.jit(lambda a:a@a); f(x).block_until_ready();"
     "t1=time.time();"
-    "r=jax.jit(lambda a:a@a)(r); r.block_until_ready();"
-    "print('PROBE_MS', (time.time()-t1)*1000)"
+    "r=x\n"
+    "for _ in range(20): r=f(r)\n"
+    "r.block_until_ready();"
+    "print('PROBE_MS', (time.time()-t1)*1000/20)"
 )
 
 
@@ -117,27 +123,39 @@ def run_row(name, timeout):
         return None
 
 
+# rows whose full protocol needs more than the default per-row budget
+ROW_TIMEOUT_OVERRIDE = {
+    "reddit_gat": 1500, "products_sage": 1500, "proteins_rgcn": 1500,
+    "cluster_sage_products": 1500, "cluster_gat_products": 1500,
+}
+
+
 def main():
     deadline = time.time() + float(os.environ.get("WATCH_HOURS", "10")) * 3600
     row_timeout = int(os.environ.get("ROW_TIMEOUT", "2400"))
+    attempts = {}  # rows that timed out/failed rotate to the back, max 2 tries
     while time.time() < deadline:
-        todo = missing_rows()
+        todo = [r for r in missing_rows() if attempts.get(r, 0) < 2]
         if not todo:
-            log("all rows recorded — done")
+            log("all rows recorded or exhausted — done")
             set_state("done")
             return
         ms = probe_ms()
-        if ms is None or ms > 250:
+        if ms is None or ms > 25:
             set_state("waiting")
             log(f"pool dark/slow (probe={ms}); {len(todo)} rows queued")
             time.sleep(180)
             continue
-        name = todo[0]
+        name = min(todo, key=lambda r: (attempts.get(r, 0), ROW_ORDER.index(r)))
         log(f"pool healthy (probe={ms:.0f}ms) -> running {name}")
-        row = run_row(name, row_timeout)
-        if row is None:
-            log(f"{name}: no result (pool died mid-row?)")
-            time.sleep(60)
+        row = run_row(name, ROW_TIMEOUT_OVERRIDE.get(name, row_timeout))
+        if row is None or row.get("status") != "ok":
+            attempts[name] = attempts.get(name, 0) + 1
+            log(f"{name}: {'no result' if row is None else row.get('status')} "
+                f"(attempt {attempts[name]}/2)")
+            if row is not None:
+                merge_row(row)  # keep the failure visible in results.json
+            time.sleep(10)
             continue
         merge_row(row)
         log(f"{name}: {row.get('status')} time/epoch={row.get('time_per_epoch')} "
