@@ -47,11 +47,13 @@ WORKLOADS = [
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "8", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--no-precompute",
                "--runs", "3"]},
-     {"time_args": ["--runs", "1", "--epochs", "60"]}),
+     {"time_args": ["--runs", "1", "--epochs", "60"],
+      "note": "runs capped 10->3"}),
     ("arxiv_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "8", "--runs", "1"],
       "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "3"]},
-     {"time_args": ["--runs", "1", "--epochs", "200", "--scan-epochs", "10"]}),
+     {"time_args": ["--runs", "1", "--epochs", "200", "--scan-epochs", "10"],
+      "note": "runs capped 10->3"}),
     # products: no --lane-kernel (the plan build is ~300s of host time per
     # process for a plan that still leaves ~2/3 of the hub-heavy edge set on
     # the XLA path) and few epochs — host prep alone (bidirect + reorder +
@@ -59,7 +61,8 @@ WORKLOADS = [
     ("products_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "ogbn-products", "--runs", "1", "--epochs", "20"]},
-     {"time_args": ["--runs", "1", "--epochs", "12"]}),
+     {"time_args": ["--runs", "1", "--epochs", "12"],
+      "note": "epochs capped 500->20, runs 10->1"}),
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
@@ -72,23 +75,27 @@ WORKLOADS = [
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--runs", "1",
                "--epochs", "40"]},
-     {"time_args": ["--runs", "1", "--epochs", "60"]}),
+     {"time_args": ["--runs", "1", "--epochs", "60"],
+      "note": "epochs capped 150->40, runs 10->1"}),
     ("arxiv_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "1",
                "--epochs", "120"]},
-     {"time_args": ["--runs", "1", "--epochs", "100"]}),
+     {"time_args": ["--runs", "1", "--epochs", "100"],
+      "note": "epochs capped 250->120, runs 10->1"}),
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
       "full": ["--runs", "1", "--epochs", "120"]},
-     {"time_args": ["--runs", "1", "--epochs", "100"]}),
+     {"time_args": ["--runs", "1", "--epochs", "100"],
+      "note": "epochs capped 300->120, runs 10->1"}),
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
       "full": ["--dataset", "ENZYMES"]}),
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "1"]}),
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1"]},
+     {"note": "runs capped 3->1"}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],
@@ -203,6 +210,10 @@ def main():
                 res["time_per_epoch"] = tres["time_per_epoch"]
         res["workload"] = name
         res["wall_s"] = round(time.time() - t0, 1)
+        # surface protocol deviations (epoch/run caps) next to the accuracy
+        # they may affect, so the published table carries the caveat
+        if args.suite == "full" and opts.get("note"):
+            res["note"] = opts["note"]
         base = BASELINE_EPOCH_S.get(name)
         t = res.get("time_per_epoch")
         res["vs_dgl_v100"] = round(base / t, 2) if (base and t) else None
@@ -212,10 +223,11 @@ def main():
 
     import pandas as pd
 
-    df = pd.DataFrame(rows)[
-        ["workload", "status", "time_per_epoch", "vs_dgl_v100",
-         "final_train", "final_test", "wall_s"]
-    ]
+    cols = ["workload", "status", "time_per_epoch", "vs_dgl_v100",
+            "final_train", "final_test", "wall_s"]
+    if any("note" in r for r in rows):
+        cols.append("note")
+    df = pd.DataFrame(rows)[cols]
     os.makedirs(args.out, exist_ok=True)
     df.to_csv(os.path.join(args.out, "results.csv"), index=False)
     df.to_json(os.path.join(args.out, "results.json"), orient="records", indent=1)

@@ -51,21 +51,28 @@ def main():
 
     lines = [
         "| workload | epoch (s) | V100 DGL baseline (s) | ratio | "
-        "final test (synthetic) | status |",
-        "|---|---|---|---|---|---|",
+        "final test (synthetic) | status | note |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for r in rows:
+    order = {w: i for i, w in enumerate(
+        ["cora_sage", "pubmed_sage", "reddit_sage", "arxiv_sage",
+         "products_sage", "cora_gat", "pubmed_gat", "reddit_gat", "arxiv_gat",
+         "proteins_rgcn", "enzymes_gcn", "molhiv_gcn", "ppa_gcn",
+         "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
+         "cluster_sage_products", "cluster_gat_products", "cluster_lp_arxiv"])}
+    for r in sorted(rows, key=lambda r: order.get(r["workload"], 99)):
         t = r.get("time_per_epoch")
         base = BASELINE_EPOCH_S.get(r["workload"])
         ratio = f"{base / t:.2f}x" if (base and t) else "-"
         lines.append(
-            "| {} | {} | {} | {} | {} | {} |".format(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
                 r["workload"],
                 f"{t:.4f}" if t else "-",
                 base if base else "-",
                 ratio,
                 r.get("final_test") if r.get("final_test") is not None else "-",
                 r.get("status", "?"),
+                r.get("note") or "",
             )
         )
     header = [

@@ -24,7 +24,8 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-RESULTS = os.path.join(REPO, "docs", "suite_r02", "results.json")
+RESULTS = os.environ.get(
+    "SUITE_RESULTS", os.path.join(REPO, "docs", "suite_r03", "results.json"))
 STATE = "/tmp/suite_watcher.state"
 LOG = "/tmp/suite_watcher.log"
 
@@ -95,8 +96,7 @@ def merge_row(row):
 
 
 def missing_rows():
-    done = {r["workload"] for r in load_results()
-            if r.get("status") == "ok" and r.get("time_per_epoch")}
+    done = {r["workload"] for r in load_results() if row_done(r)}
     return [r for r in ROW_ORDER if r not in done]
 
 
@@ -123,11 +123,18 @@ def run_row(name, timeout):
         return None
 
 
-# rows whose full protocol needs more than the default per-row budget
+# rows whose full protocol needs more than the default per-row budget;
+# applied as max(override, ROW_TIMEOUT) so an operator-shrunk ROW_TIMEOUT
+# can never give the heavy rows LESS time than the light ones
 ROW_TIMEOUT_OVERRIDE = {
-    "reddit_gat": 1500, "products_sage": 1500, "proteins_rgcn": 1500,
-    "cluster_sage_products": 1500, "cluster_gat_products": 1500,
+    "reddit_gat": 3600, "products_sage": 3600, "proteins_rgcn": 3600,
+    "cluster_sage_products": 3600, "cluster_gat_products": 3600,
 }
+
+
+def row_done(row):
+    """The done-predicate missing_rows() uses: ok status AND a timing."""
+    return bool(row) and row.get("status") == "ok" and row.get("time_per_epoch")
 
 
 def main():
@@ -148,13 +155,16 @@ def main():
             continue
         name = min(todo, key=lambda r: (attempts.get(r, 0), ROW_ORDER.index(r)))
         log(f"pool healthy (probe={ms:.0f}ms) -> running {name}")
-        row = run_row(name, ROW_TIMEOUT_OVERRIDE.get(name, row_timeout))
-        if row is None or row.get("status") != "ok":
+        row = run_row(name, max(ROW_TIMEOUT_OVERRIDE.get(name, 0), row_timeout))
+        # count the attempt against the SAME predicate missing_rows() uses —
+        # an exit-0 row with no scraped timing must not be retried forever
+        if not row_done(row):
             attempts[name] = attempts.get(name, 0) + 1
             log(f"{name}: {'no result' if row is None else row.get('status')} "
+                f"time/epoch={row.get('time_per_epoch') if row else None} "
                 f"(attempt {attempts[name]}/2)")
-            if row is not None:
-                merge_row(row)  # keep the failure visible in results.json
+            # failures stay in the scratch per-row logs, NOT the published
+            # results file (advisor r2): merge only rows that carry signal
             time.sleep(10)
             continue
         merge_row(row)
