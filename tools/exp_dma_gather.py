@@ -38,14 +38,19 @@ def dma_gather(x, idx, tile: int = 256, interpret: bool = False):
     assert e % tile == 0, (e, tile)
     d = x.shape[1]
 
+    assert tile % 128 == 0, tile
+    k = tile // 128
+
     def kernel(idx_ref, x_ref, o_ref, sems):
         for r in range(tile):
             pltpu.make_async_copy(
-                x_ref.at[idx_ref[r]], o_ref.at[r], sems.at[r]
+                x_ref.at[idx_ref[0, r // 128, r % 128]], o_ref.at[r],
+                sems.at[r],
             ).start()
         for r in range(tile):
             pltpu.make_async_copy(
-                x_ref.at[idx_ref[r]], o_ref.at[r], sems.at[r]
+                x_ref.at[idx_ref[0, r // 128, r % 128]], o_ref.at[r],
+                sems.at[r],
             ).wait()
 
     return pl.pallas_call(
@@ -53,14 +58,49 @@ def dma_gather(x, idx, tile: int = 256, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((e, d), x.dtype),
         grid=(e // tile,),
         in_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((tile,))],
         interpret=interpret,
-    )(idx, x)
+    )(idx.reshape(e // tile, k, 128), x)
+
+
+def vmem_gather(x, idx, tile: int = 512, interpret: bool = False):
+    """out[i] = x[idx[i]] via per-row dynamic sublane slices from a fully
+    VMEM-resident x — no DMA, pure vector-unit addressing. Rows are read
+    one at a time but written back in aligned groups of 8 sublanes."""
+    e = idx.shape[0]
+    assert e % tile == 0 and tile % 128 == 0, (e, tile)
+    k = tile // 128
+    d = x.shape[1]
+
+    def kernel(idx_ref, x_ref, o_ref):
+        for r0 in range(0, tile, 8):
+            rows = [
+                x_ref[pl.ds(idx_ref[0, (r0 + j) // 128, (r0 + j) % 128], 1), :]
+                for j in range(8)
+            ]
+            o_ref[pl.ds(r0, 8), :] = jnp.concatenate(rows, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((e, d), x.dtype),
+        grid=(e // tile,),
+        in_specs=[
+            pl.BlockSpec((1, k, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully resident
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * (1 << 20)),
+        interpret=interpret,
+    )(idx.reshape(e // tile, k, 128), x)
 
 
 def timed(fn, *args, reps=6, cold=2):
@@ -106,7 +146,7 @@ def main():
     t = timed(split4, x, idx)
     print(f"xla gather split4:   {t*1e3:8.2f} ms  {e_pad/t/1e6:8.1f} M rows/s")
 
-    for tile in (128, 256, 512):
+    for tile in (128, 256):
         try:
             out = dma_gather(x, idx, tile=tile, interpret=args.interpret)
             err = float(np.abs(np.asarray(out) - ref).max())
@@ -115,6 +155,16 @@ def main():
                   f"{e_pad/t/1e6:8.1f} M rows/s  maxerr={err:.1e}")
         except Exception as ex:  # noqa: BLE001 — experiment: report and move on
             print(f"dma gather tile={tile}: FAILED {type(ex).__name__}: {ex}")
+
+    for tile in (512, 2048):
+        try:
+            out = vmem_gather(x, idx, tile=tile, interpret=args.interpret)
+            err = float(np.abs(np.asarray(out) - ref).max())
+            t = timed(lambda x, i: vmem_gather(x, i, tile=tile), x, idx)
+            print(f"vmem gather tile={tile:4d}: {t*1e3:7.2f} ms  "
+                  f"{e_pad/t/1e6:8.1f} M rows/s  maxerr={err:.1e}")
+        except Exception as ex:  # noqa: BLE001
+            print(f"vmem gather tile={tile}: FAILED {type(ex).__name__}: {ex}")
 
 
 if __name__ == "__main__":
