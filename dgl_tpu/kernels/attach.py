@@ -30,7 +30,7 @@ __all__ = ["LaneAttachment", "attach_lane_plans", "choose_plan_config"]
 
 # bump when the LanePlan layout or build_plan semantics change — stale cache
 # files are then simply never matched (keyed into the filename)
-_PLAN_CACHE_VERSION = 2
+_PLAN_CACHE_VERSION = 3
 
 # -- (window, dense_threshold) auto-tuner -------------------------------------
 # Per-pass cost model, v5e constants (see docs/KERNEL_SWEEP.md; re-calibrate
@@ -49,15 +49,23 @@ _THRESHOLDS = (8, 16, 24, 32, 48, 96)
 
 def choose_plan_config(
     src: np.ndarray, dst: np.ndarray, *,
-    windows=None, thresholds=None,
+    windows=None, thresholds=None, rem_ns=None, subgather_frac=None,
 ) -> tuple:
     """Pick (window, dense_threshold) minimizing modeled per-pass cost.
 
     Counting only — no plan is built. Pair counts are computed once at the
     finest window (128) and aggregated upward (windows nest), so the scan
-    over the config grid is O(#pairs), not O(E)."""
+    over the config grid is O(#pairs), not O(E).
+
+    ``rem_ns``/``subgather_frac`` override the model constants: the tier-2
+    tuner prices residual edges at the measured row cost (edges it leaves
+    behind REALLY go to the XLA row path) and sub-gathers at the narrow-dk
+    rate (tier-2 exists for dk≈16 attention/SAGE shapes, where the per-slot
+    cost is base-dominated, not gather-dominated)."""
     windows = _WINDOWS if windows is None else tuple(windows)
     thresholds = _THRESHOLDS if thresholds is None else tuple(thresholds)
+    rem_ns = _REM_NS if rem_ns is None else float(rem_ns)
+    sg = _SUBGATHER_FRAC if subgather_frac is None else float(subgather_frac)
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     e = len(src)
@@ -74,12 +82,12 @@ def choose_plan_config(
             cw = np.bincount(inv, weights=cnt).astype(np.int64)
         else:
             cw = cnt
-        slot_ns = _SLOT_NS * (1.0 + _SUBGATHER_FRAC * (k_sub - 1))
+        slot_ns = _SLOT_NS * (1.0 + sg * (k_sub - 1))
         for thr in thresholds:
             dense = cw >= thr
             slots = int((-(-cw[dense] // SB) * SB).sum())
             rem = e - int(cw[dense].sum())
-            cost = slots * slot_ns + rem * _REM_NS
+            cost = slots * slot_ns + rem * rem_ns
             if best is None or cost < best[2]["cost_ns"]:
                 best = (w, thr, {
                     "cost_ns": cost, "slots": slots, "rem_edges": rem,
@@ -93,49 +101,95 @@ def choose_plan_config(
 @dataclasses.dataclass(frozen=True)
 class LaneAttachment:
     plan: LanePlan
-    remainder: Optional[Graph]  # sparse-tile edges for the XLA path
+    remainder: Optional[Graph]  # final sparse-tile edges for the XLA path
     # VMEM-resident feature dtype for the kernel (None → bf16 default;
     # pass jnp.float32 to keep full precision at 2x the VMEM footprint)
     compute_dtype: Optional[object] = None
     # canonical (forward-order) edge id per remainder-graph edge slot —
     # the attention hybrid keys its dropout mask on these
     rem_eid: Optional[jnp.ndarray] = None
+    # tier-2 wide-window plan over tier-1's sparse-tile remainder (its own
+    # remainder is what ``remainder`` serves); None when tier-1's remainder
+    # is small or tiles badly even at wide windows
+    plan2: Optional[LanePlan] = None
 
     def tree_flatten(self):
-        return (self.plan, self.remainder, self.rem_eid), (self.compute_dtype,)
+        return (self.plan, self.remainder, self.rem_eid, self.plan2), (
+            self.compute_dtype,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(leaves[0], leaves[1], aux[0], leaves[2])
+        return cls(leaves[0], leaves[1], aux[0], leaves[2], leaves[3])
+
+
+# tier-2 decision model: keep the wide-window plan only when its modeled
+# cost beats serving tier-1's remainder through the XLA row path. The row
+# path costs ≥1 row gather (~19 ns, measured floor — DESIGN_NOTES 5b) plus
+# a segment reduce per pass; attention passes pay ~2 gathers. 25 ns/edge is
+# the conservative single-gather figure.
+_TIER2_MIN_EDGES = 50_000
+_TIER2_WINDOWS = (2048, 4096, 8192)
+_TIER2_THRESHOLDS = (8, 16, 32)
+_TIER2_REM_NS = 25.0
+# tier-2 serves the dk≈16 attention/SAGE shapes where a run's cost is
+# base-dominated, not gather-dominated: the K-way sub-gather slope is far
+# below tier-1's wide-feature 0.18 (w=8192 → ~4.4 ns/slot, the measured
+# wide-window rate; recalibrate with tools/calibrate_lane.py)
+_TIER2_SUBGATHER_FRAC = 0.01
+
+
+def _build_tier2(plan: LanePlan, num_src: int, num_dst: int) -> Optional[LanePlan]:
+    if len(plan.rem_src) < _TIER2_MIN_EDGES:
+        return None
+    w, thr, stats = choose_plan_config(
+        plan.rem_src, plan.rem_dst,
+        windows=_TIER2_WINDOWS, thresholds=_TIER2_THRESHOLDS,
+        rem_ns=_TIER2_REM_NS, subgather_frac=_TIER2_SUBGATHER_FRAC,
+    )
+    # stats["cost_ns"] prices tier-2 slots at the (sub-gather-scaled) lane
+    # rate and residual edges at the measured row cost; keep the plan only
+    # when that beats sending ALL of tier-1's remainder to the row path
+    if stats["cost_ns"] >= _TIER2_REM_NS * len(plan.rem_src):
+        return None
+    return build_plan(plan.rem_src, plan.rem_dst, num_src, num_dst,
+                      dense_threshold=thr, eid=plan.rem_eid, window=w)
 
 
 def _finish_attachment(plan: LanePlan, g: Graph, max_expansion: float,
-                       compute_dtype=None) -> Optional[LaneAttachment]:
+                       compute_dtype=None,
+                       plan2: Optional[LanePlan] = None,
+                       ) -> Optional[LaneAttachment]:
     rem_frac = len(plan.rem_src) / max(g.num_edges, 1)
+    tail = plan2 if plan2 is not None else plan
+    final_rem_frac = len(tail.rem_src) / max(g.num_edges, 1)
     print(
         f"[dgl_tpu.kernels] lane plan: window={plan.window} "
         f"expansion={plan.expansion:.2f} "
-        f"remainder={rem_frac:.1%} chunks={plan.num_chunks}",
+        f"remainder={rem_frac:.1%} chunks={plan.num_chunks}"
+        + (f" | tier2: window={plan2.window} expansion={plan2.expansion:.2f} "
+           f"final_remainder={final_rem_frac:.2%} chunks={plan2.num_chunks}"
+           if plan2 is not None else ""),
         file=sys.stderr,
     )
     if plan.expansion > max_expansion:
         return None
     rem = None
     rem_eid = None
-    if len(plan.rem_src):
+    if len(tail.rem_src):
         rem = from_edges(
-            plan.rem_src, plan.rem_dst, g.num_src_nodes, g.num_dst_nodes,
+            tail.rem_src, tail.rem_dst, g.num_src_nodes, g.num_dst_nodes,
             build_reverse=False,
         )
         # canonical eids permuted into the remainder graph's dst-sorted
         # edge order (rem.eid maps its slots back to rem input order)
         pos = np.asarray(rem.eid)
         arr = np.full(len(pos), 2**31 - 1, np.int32)
-        ok = pos < len(plan.rem_eid)
-        arr[ok] = plan.rem_eid[pos[ok]].astype(np.int32)
+        ok = pos < len(tail.rem_eid)
+        arr[ok] = tail.rem_eid[pos[ok]].astype(np.int32)
         rem_eid = jnp.asarray(arr)
     return LaneAttachment(plan=plan, remainder=rem,
-                          compute_dtype=compute_dtype, rem_eid=rem_eid)
+                          compute_dtype=compute_dtype, rem_eid=rem_eid,
+                          plan2=plan2)
 
 
 def _tuned_build(src, dst, num_src, num_dst, dense_threshold, window,
@@ -157,7 +211,10 @@ def _attach_one(g: Graph, dense_threshold, max_expansion: float,
     src, dst = g.edges_numpy()
     plan = _tuned_build(src, dst, g.num_src_nodes, g.num_dst_nodes,
                         dense_threshold, window, eid=eid)
-    return _finish_attachment(plan, g, max_expansion, compute_dtype)
+    plan2 = (_build_tier2(plan, g.num_src_nodes, g.num_dst_nodes)
+             if plan.expansion <= max_expansion else None)
+    return _finish_attachment(plan, g, max_expansion, compute_dtype,
+                              plan2=plan2)
 
 
 # -- plan cache -------------------------------------------------------------
@@ -252,13 +309,16 @@ def attach_lane_plans(
             with np.load(path) as z:
                 fwd_plan = _plan_from_payload("f", z)
                 rev_plan = _plan_from_payload("r", z) if "r_scalars" in z else None
-            fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
+                fwd2 = _plan_from_payload("f2", z) if "f2_scalars" in z else None
+                rev2 = _plan_from_payload("r2", z) if "r2_scalars" in z else None
+            fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype,
+                                     plan2=fwd2)
             if fwd is None:
                 return g
             rev = g.reverse
             if rev is not None and rev_plan is not None:
                 rev_att = _finish_attachment(rev_plan, rev, max_expansion,
-                                             compute_dtype)
+                                             compute_dtype, plan2=rev2)
                 rev = dataclasses.replace(rev, lane=rev_att)
             return dataclasses.replace(g, lane=fwd, reverse=rev)
 
@@ -268,8 +328,10 @@ def attach_lane_plans(
         # uncached + unprofitable: skip the (equally expensive) reverse build
         _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
         return g
+    fwd_plan2 = (_build_tier2(fwd_plan, g.num_src_nodes, g.num_dst_nodes)
+                 if fwd_plan.expansion <= max_expansion else None)
     rev = g.reverse
-    rev_plan = None
+    rev_plan = rev_plan2 = None
     if rev is not None:
         # the reverse plan's eid slots carry FORWARD-canonical edge ids
         # (rev.eid maps reverse-canonical → forward-canonical) so that
@@ -280,20 +342,28 @@ def attach_lane_plans(
         rev_plan = _tuned_build(rsrc, rdst, rev.num_src_nodes,
                                 rev.num_dst_nodes, dense_threshold, window,
                                 eid=rev_eid)
+        if rev_plan.expansion <= max_expansion:
+            rev_plan2 = _build_tier2(rev_plan, rev.num_src_nodes,
+                                     rev.num_dst_nodes)
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)
         payload = _plan_to_payload("f", fwd_plan)
+        if fwd_plan2 is not None:
+            payload.update(_plan_to_payload("f2", fwd_plan2))
         if rev_plan is not None:
             payload.update(_plan_to_payload("r", rev_plan))
+        if rev_plan2 is not None:
+            payload.update(_plan_to_payload("r2", rev_plan2))
         tmp = path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, path)
 
-    fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype)
+    fwd = _finish_attachment(fwd_plan, g, max_expansion, compute_dtype,
+                             plan2=fwd_plan2)
     if fwd is None:
         return g
     if rev is not None and rev_plan is not None:
         rev_att = _finish_attachment(rev_plan, rev, max_expansion,
-                                     compute_dtype)
+                                     compute_dtype, plan2=rev_plan2)
         rev = dataclasses.replace(rev, lane=rev_att)
     return dataclasses.replace(g, lane=fwd, reverse=rev)

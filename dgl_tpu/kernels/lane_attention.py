@@ -51,7 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lane_spmm import JG, RUNS_PER_CHUNK, SB, LanePlan, _window_gather
+from .lane_spmm import (JG, RUNS_PER_CHUNK, SB, LanePlan, _meta_shift,
+                        _run_unroll, _window_gather)
 
 __all__ = ["lane_gat_agg", "lane_attn_fits"]
 
@@ -70,16 +71,17 @@ _VMEM_ATTN_BUDGET = 24 * (1 << 20)
 _VMEM_LIMIT = 100 * (1 << 20)
 
 
-def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype) -> bool:
+def lane_attn_fits(plan: LanePlan, rplan: LanePlan, dh: int, compute_dtype,
+                   plan2: LanePlan = None, rplan2: LanePlan = None) -> bool:
     """True when the fused path applies: the per-head feature slab fits the
-    VMEM budget for all three passes (sparse-tile remainders are fine — the
-    hybrid path serves them through XLA segment ops under the same softmax
-    normalization)."""
+    VMEM budget for all passes (tier-2 plans pad to their own wider window;
+    sparse-tile remainders are fine — the hybrid path serves them through
+    XLA segment ops under the same softmax normalization)."""
     itemsize = jnp.dtype(compute_dtype).itemsize
     dk = _d_pad(dh, itemsize)
-    return (
-        dk * plan.n_src_pad * itemsize <= _VMEM_ATTN_BUDGET
-        and dk * rplan.n_src_pad * itemsize <= _VMEM_ATTN_BUDGET
+    return all(
+        dk * p.n_src_pad * itemsize <= _VMEM_ATTN_BUDGET
+        for p in (plan, rplan, plan2, rplan2) if p is not None
     )
 
 
@@ -101,6 +103,8 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
                  negative_slope: float, keep: float, bf16_pack: bool,
                  window: int):
     has_drop = keep < 1.0
+    shift = _meta_shift(window)
+    unroll = _run_unroll(window)
 
     def kernel(*refs):
         if has_drop:
@@ -115,15 +119,15 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        def run_body(r, _):
+        def run_body(r):
             b = bucket_ref[0, r // 128, r % 128]
-            meta = meta_ref[0, r, :]  # packed src_lo | dst_lo<<10
+            meta = meta_ref[0, r, :]  # packed src_lo | dst_lo<<shift
             slo = jnp.bitwise_and(meta, window - 1)
             msg = _window_gather(lambda off: f_ref[0, :, pl.ds(off, SB)],
                                  b, slo, dk, window, bf16_pack)
             bss = _window_gather(lambda off: bs_ref[0, :, pl.ds(off, SB)],
                                  b, slo, nb, window, False)
-            dlo = jax.lax.shift_right_logical(meta, 10)
+            dlo = jax.lax.shift_right_logical(meta, shift)
             cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
             ohb = dlo[:, None] == cols  # (128, JG); padded slots: all-false row
             # group-side values per slot: one small MXU matmul reusing the
@@ -177,9 +181,21 @@ def _make_kernel(pass_kind: str, nb: int, ng: int, dk: int, rows_pad: int,
             o_ref[0, 0] = o_ref[0, 0] + jnp.dot(
                 aug, ohb.astype(cd), preferred_element_type=jnp.float32
             )
-            return 0
 
-        jax.lax.fori_loop(0, RUNS_PER_CHUNK, run_body, 0, unroll=RUNS_PER_CHUNK)
+        # loop structure mirrors lane_spmm._make_kernel: full unroll for
+        # narrow (scalar-bound) windows, rolled outer / unrolled blocks for
+        # wide (work-bound) ones
+        if unroll == RUNS_PER_CHUNK:
+            jax.lax.fori_loop(0, RUNS_PER_CHUNK,
+                              lambda r, c: (run_body(r), 0)[1], 0,
+                              unroll=RUNS_PER_CHUNK)
+        else:
+            def block_body(q, c):
+                for j in range(unroll):
+                    run_body(q * unroll + j)
+                return c
+
+            jax.lax.fori_loop(0, RUNS_PER_CHUNK // unroll, block_body, 0)
 
     return kernel
 
@@ -352,32 +368,44 @@ def _rem_b2_terms(remr, reid, g_out, a_src, a_dst, u, inv_s, c, seed, keep, ns):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _lane_gat(num_dst, negative_slope, keep, cd, interpret, num_src,
-              fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
-              v, a_src, a_dst, seed):
+              fplan, rplan, fplan2, rplan2, rem_fwd, rem_feid, rem_rev,
+              rem_reid, v, a_src, a_dst, seed):
     out, _ = _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret,
-                           num_src, fplan, rplan, rem_fwd, rem_feid,
-                           rem_rev, rem_reid, v, a_src, a_dst, seed)
+                           num_src, fplan, rplan, fplan2, rplan2, rem_fwd,
+                           rem_feid, rem_rev, rem_reid, v, a_src, a_dst, seed)
     return out
 
 
-def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
-                  fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
-                  v, a_src, a_dst, seed):
-    h, dh = v.shape[1], v.shape[2]
-    dk = _d_pad(dh, jnp.dtype(cd).itemsize)
-    u = _upper_bound(a_src, a_dst, negative_slope)
+def _fwd_pass_terms(plan, v, a_src, a_dst, u, seed, *, h, dh, dk, num_dst,
+                    negative_slope, keep, cd, interpret):
+    """One forward lane pass → (num, s, w1u, w1su) sliced to num_dst."""
     res = _attn_pass(
-        "fwd", fplan,
-        _feature_major(v, h, dk, fplan.n_src_pad, cd),
-        _node_stack([a_src], fplan.n_src_pad),
-        _group_stack([a_dst, u], fplan.n_dst_pad),
+        "fwd", plan,
+        _feature_major(v, h, dk, plan.n_src_pad, cd),
+        _node_stack([a_src], plan.n_src_pad),
+        _group_stack([a_dst, u], plan.n_dst_pad),
         seed, dk=dk, negative_slope=negative_slope, keep=keep,
         interpret=interpret,
     )
-    num = res[:num_dst, :, :dh]
-    s = res[:num_dst, :, dk]
-    w1u = res[:num_dst, :, dk + 1 : dk + 1 + dh]
-    w1su = res[:num_dst, :, 2 * dk + 1]
+    return (res[:num_dst, :, :dh], res[:num_dst, :, dk],
+            res[:num_dst, :, dk + 1 : dk + 1 + dh],
+            res[:num_dst, :, 2 * dk + 1])
+
+
+def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
+                  fplan, rplan, fplan2, rplan2, rem_fwd, rem_feid, rem_rev,
+                  rem_reid, v, a_src, a_dst, seed):
+    h, dh = v.shape[1], v.shape[2]
+    dk = _d_pad(dh, jnp.dtype(cd).itemsize)
+    u = _upper_bound(a_src, a_dst, negative_slope)
+    kw = dict(h=h, dh=dh, dk=dk, num_dst=num_dst,
+              negative_slope=negative_slope, keep=keep, cd=cd,
+              interpret=interpret)
+    num, s, w1u, w1su = _fwd_pass_terms(fplan, v, a_src, a_dst, u, seed, **kw)
+    if fplan2 is not None:
+        n2, s2, w2u, w2su = _fwd_pass_terms(fplan2, v, a_src, a_dst, u, seed,
+                                            **kw)
+        num, s, w1u, w1su = num + n2, s + s2, w1u + w2u, w1su + w2su
     if rem_fwd is not None:
         rnum, rden, rw1u, rw1su = _rem_fwd_terms(
             rem_fwd, rem_feid, v, a_src, a_dst, u, seed, keep, negative_slope)
@@ -386,13 +414,28 @@ def _lane_gat_fwd(num_dst, negative_slope, keep, cd, interpret, num_src,
         w1u = w1u + rw1u[:num_dst]
         w1su = w1su + rw1su[:num_dst]
     out = jnp.where(s[:, :, None] > 0, num / jnp.where(s, s, 1.0)[:, :, None], 0.0)
-    return out, (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
-                 v, a_src, a_dst, u, s, out, w1u, w1su, seed)
+    return out, (fplan, rplan, fplan2, rplan2, rem_fwd, rem_feid, rem_rev,
+                 rem_reid, v, a_src, a_dst, u, s, out, w1u, w1su, seed)
+
+
+def _b2_pass_terms(plan, g, a_src, a_dst, u, inv_s, c, seed, *, h, dk, dh,
+                   num_src, negative_slope, keep, cd, interpret):
+    """One backward (b2) lane pass → (grad_v, w2, w3) sliced to num_src."""
+    b2 = _attn_pass(
+        "b2", plan,
+        _feature_major(g, h, dk, plan.n_src_pad, cd),
+        _node_stack([a_dst, u, inv_s, c], plan.n_src_pad),
+        _group_stack([a_src], plan.n_dst_pad),
+        seed, dk=dk, negative_slope=negative_slope, keep=keep,
+        interpret=interpret,
+    )
+    return (b2[:num_src, :, :dh], b2[:num_src, :, dk : dk + dh],
+            b2[:num_src, :, 2 * dk])
 
 
 def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
                   res, g):
-    (fplan, rplan, rem_fwd, rem_feid, rem_rev, rem_reid,
+    (fplan, rplan, fplan2, rplan2, rem_fwd, rem_feid, rem_rev, rem_reid,
      v, a_src, a_dst, u, s, out, w1u, w1su, seed) = res
     h, dh = v.shape[1], v.shape[2]
     dk = _d_pad(dh, jnp.dtype(cd).itemsize)
@@ -406,17 +449,15 @@ def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
     w1s = w1su * inv_s
     grad_a_dst = jnp.sum(g * w1, axis=2) - c * w1s
 
-    b2 = _attn_pass(
-        "b2", rplan,
-        _feature_major(g, h, dk, rplan.n_src_pad, cd),
-        _node_stack([a_dst, u, inv_s, c], rplan.n_src_pad),
-        _group_stack([a_src], rplan.n_dst_pad),
-        seed, dk=dk, negative_slope=negative_slope, keep=keep,
-        interpret=interpret,
-    )
-    grad_v = b2[:num_src, :, :dh]
-    w2 = b2[:num_src, :, dk : dk + dh]
-    w3 = b2[:num_src, :, 2 * dk]
+    kw = dict(h=h, dk=dk, dh=dh, num_src=num_src,
+              negative_slope=negative_slope, keep=keep, cd=cd,
+              interpret=interpret)
+    grad_v, w2, w3 = _b2_pass_terms(rplan, g, a_src, a_dst, u, inv_s, c,
+                                    seed, **kw)
+    if rplan2 is not None:
+        gv2, w22, w32 = _b2_pass_terms(rplan2, g, a_src, a_dst, u, inv_s, c,
+                                       seed, **kw)
+        grad_v, w2, w3 = grad_v + gv2, w2 + w22, w3 + w32
     if rem_rev is not None:
         rgv, rw2, rw3 = _rem_b2_terms(rem_rev, rem_reid, g, a_src, a_dst, u,
                                       inv_s, c, seed, keep, negative_slope)
@@ -432,8 +473,8 @@ def _lane_gat_bwd(num_dst, negative_slope, keep, cd, interpret, num_src,
         t,
     )
     return (
-        f0(fplan), f0(rplan), f0(rem_fwd), f0(rem_feid), f0(rem_rev),
-        f0(rem_reid), grad_v.astype(v.dtype),
+        f0(fplan), f0(rplan), f0(fplan2), f0(rplan2), f0(rem_fwd),
+        f0(rem_feid), f0(rem_rev), f0(rem_reid), grad_v.astype(v.dtype),
         grad_a_src.astype(a_src.dtype), grad_a_dst.astype(a_dst.dtype),
         np.zeros((), jax.dtypes.float0),
     )
@@ -450,9 +491,11 @@ def lane_gat_agg(
     a_dst: jnp.ndarray,   # (N_dst, H) f32 — destination attention coefficient
     num_dst: int,
     *,
-    rem_fwd=None,         # Graph of forward-plan remainder edges (src→dst)
+    fplan2: LanePlan = None,  # tier-2 wide-window plan over fplan's remainder
+    rplan2: LanePlan = None,
+    rem_fwd=None,         # Graph of final remainder edges (src→dst)
     rem_fwd_eid=None,     # (E_rem_pad,) canonical eids, rem_fwd edge order
-    rem_rev=None,         # Graph of reverse-plan remainder edges (dst→src)
+    rem_rev=None,         # Graph of final reverse remainder edges (dst→src)
     rem_rev_eid=None,
     negative_slope: float = 0.2,
     attn_keep: float = 1.0,
@@ -465,21 +508,25 @@ def lane_gat_agg(
     · v[s]`` returned as (num_dst, H, D) f32. Zero-in-degree rows are 0
     (DGL semantics).
 
-    Hybrid coverage: dense tiles run in the lane kernel; sparse-tile
-    remainder edges (``rem_fwd``/``rem_rev``, built by
-    ``attach_lane_plans``) run through XLA gathers + one segment reduce per
-    pass, summed into the SAME softmax numerator/denominator. ``rplan`` and
-    the eid arrays must carry forward-canonical ids so dropout masks agree
-    across layouts."""
-    if (len(fplan.rem_src) > 0) != (rem_fwd is not None):
+    Hybrid coverage: dense tiles run in the tier-1 lane kernel; tier-1's
+    sparse tiles run in the tier-2 wide-window kernel (``fplan2``/``rplan2``
+    when attached); any final remainder edges (``rem_fwd``/``rem_rev``, all
+    built by ``attach_lane_plans``) run through XLA gathers + one segment
+    reduce per pass. All contributions sum into the SAME softmax
+    numerator/denominator. ``rplan`` and the eid arrays must carry
+    forward-canonical ids so dropout masks agree across layouts."""
+    f_tail = fplan2 if fplan2 is not None else fplan
+    r_tail = rplan2 if rplan2 is not None else rplan
+    if (len(f_tail.rem_src) > 0) != (rem_fwd is not None):
         raise ValueError(
-            "forward plan has a sparse-tile remainder: pass rem_fwd/rem_fwd_eid "
-            "(attach_lane_plans builds them) or use dense_threshold=1"
+            "forward plan chain has a sparse-tile remainder: pass "
+            "rem_fwd/rem_fwd_eid (attach_lane_plans builds them) or use "
+            "dense_threshold=1"
         )
-    if (len(rplan.rem_src) > 0) != (rem_rev is not None):
+    if (len(r_tail.rem_src) > 0) != (rem_rev is not None):
         raise ValueError(
-            "reverse plan has a sparse-tile remainder: pass rem_rev/rem_rev_eid "
-            "or use dense_threshold=1"
+            "reverse plan chain has a sparse-tile remainder: pass "
+            "rem_rev/rem_rev_eid or use dense_threshold=1"
         )
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -487,7 +534,7 @@ def lane_gat_agg(
         seed = jnp.asarray(seed, jnp.int32).reshape((1,))
     return _lane_gat(
         num_dst, float(negative_slope), float(attn_keep), compute_dtype,
-        interpret, v.shape[0], fplan, rplan, rem_fwd, rem_fwd_eid,
-        rem_rev, rem_rev_eid, v,
+        interpret, v.shape[0], fplan, rplan, fplan2, rplan2, rem_fwd,
+        rem_fwd_eid, rem_rev, rem_rev_eid, v,
         a_src.astype(jnp.float32), a_dst.astype(jnp.float32), seed,
     )

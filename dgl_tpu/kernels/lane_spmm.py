@@ -37,6 +37,17 @@ edges by (dst group, K·128-node src window) instead: tile density rises
 (the one-hot MXU scatter — the run's FLOP cost — does not grow).
 ``attach_lane_plans`` picks (window, dense_threshold) per graph with a
 counting cost model.
+
+v4: **wide windows + tier-2 plans.** ``window`` may now go up to 8192 (the
+meta word's dst offset shifts above the src bits: ``src_lo | dst_lo <<
+max(10, log2(window))`` — 24 bits worst case). Wide windows trade K =
+window/128 sub-bucket gathers per run for near-1.0 expansion on edge sets
+that tile hopelessly at 128 (measured reddit: the 19.7% tier-1 remainder is
+100% served at window 8192 with expansion 1.16). ``attach_lane_plans``
+builds a tier-2 wide-window plan over the tier-1 remainder, which deletes
+the XLA row-gather remainder (~19 ns/row, 2 gathers/pass) that dominated
+hybrid passes. Wide-window kernels roll the run loop (unrolled inner
+blocks) — at K≥16 the run body is work-bound, not scalar-bound.
 """
 
 from __future__ import annotations
@@ -73,6 +84,24 @@ _VMEM_X_BUDGET = 11 * (1 << 20)
 SLOT_NS_BASE = 1.8
 SLOT_NS_PER8 = 0.45
 REM_NS = 10.0
+
+
+def _meta_shift(window: int) -> int:
+    """Bit position of the dst offset in the packed meta word (src bits
+    below it). 10 for windows ≤ 1024 (the historical packing), log2(window)
+    above."""
+    return max(10, (window - 1).bit_length())
+
+
+def _run_unroll(window: int) -> int:
+    """Runs per unrolled block. Narrow windows fully unroll (the rolled
+    loop is scalar-bound: ~233ns/iter vs ~170ns of work — measured v5e);
+    wide windows are work-bound (K sub-gathers/run), so a rolled outer loop
+    over unrolled blocks keeps code size bounded."""
+    k_sub = window // SB
+    if k_sub <= 8:
+        return RUNS_PER_CHUNK
+    return max(4, 64 // k_sub)
 
 
 def slot_ns(d: int, window: int = SB) -> float:
@@ -149,9 +178,10 @@ def build_plan(
     window width (a power-of-two multiple of 128, ≤ 1024): wider windows
     merge sparse (group, bucket) pairs into servable runs at the cost of
     ``window/128`` sub-gathers per run in the kernel."""
-    if window % SB or window > 1024 or window & (window - 1):
+    if window % SB or window > 8192 or window & (window - 1):
         raise ValueError(f"window must be a power-of-two multiple of {SB} "
-                         f"≤ 1024, got {window}")
+                         f"≤ 8192, got {window}")
+    shift = _meta_shift(window)
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     e_total = len(src)
@@ -233,7 +263,7 @@ def build_plan(
     chunk_first = np.zeros(num_chunks, np.int32)
     chunk_first[chunk_goffs[:-1]] = 1
 
-    m_arr = np.full((num_chunks, R, SB), JG << 10, np.int32)
+    m_arr = np.full((num_chunks, R, SB), JG << shift, np.int32)
     e_arr = np.full((num_chunks, R, SB), -1, np.int64)
     b_arr = np.zeros((num_chunks, 8, 128), np.int32)
     if n_runs:
@@ -242,7 +272,7 @@ def build_plan(
         run_chunk = np.repeat(chunk_goffs[:-1], runs_per_group) + within_grp // R
         run_slot = within_grp % R
         m_arr[run_chunk, run_slot] = (
-            src_lo_flat | (dst_lo_flat.astype(np.int32) << 10)
+            src_lo_flat | (dst_lo_flat.astype(np.int32) << shift)
         ).reshape(n_runs, SB)
         e_arr[run_chunk, run_slot] = eid_flat.reshape(n_runs, SB)
         b_arr[run_chunk, run_slot // 128, run_slot % 128] = run_bucket
@@ -326,6 +356,9 @@ def _window_gather(load, b, slo, d_feat, window: int, bf16_pack: bool):
 
 
 def _make_kernel(has_w: bool, bf16_pack: bool, window: int):
+    shift = _meta_shift(window)
+    unroll = _run_unroll(window)
+
     def kernel(*refs):
         if has_w:
             group_ref, first_ref, bucket_ref, meta_ref, w_ref, x_ref, o_ref = refs
@@ -339,25 +372,37 @@ def _make_kernel(has_w: bool, bf16_pack: bool, window: int):
 
         d_feat = x_ref.shape[0]
 
-        def run_body(r, _):
+        def run_body(r):
             b = bucket_ref[0, r // 128, r % 128]
-            meta = meta_ref[0, r, :]  # (128,) packed src_lo | dst_lo<<10
+            meta = meta_ref[0, r, :]  # (128,) packed src_lo | dst_lo<<shift
             slo = jnp.bitwise_and(meta, window - 1)
             msg = _window_gather(lambda off: x_ref[:, pl.ds(off, SB)],
                                  b, slo, d_feat, window, bf16_pack)
             if has_w:
                 msg = msg * w_ref[0, r, :][None, :].astype(msg.dtype)
-            dlo = jax.lax.shift_right_logical(meta, 10)  # (128,) in [0, JG]
+            dlo = jax.lax.shift_right_logical(meta, shift)  # (128,) in [0, JG]
             cols = jax.lax.broadcasted_iota(jnp.int32, (SB, JG), 1)
             oh = (dlo[:, None] == cols).astype(msg.dtype)  # (128, JG)
             o_ref[0] = o_ref[0] + jnp.dot(msg, oh, preferred_element_type=jnp.float32)
-            return 0
 
-        # full unroll: the rolled loop is SCALAR-bound (~233ns/iteration of
-        # loop control + SMEM address math, measured on v5e, vs ~170ns of
-        # actual VPU/MXU work); unrolling cut the reddit-scale kernel from
-        # 54.8ms to 32.9ms. Mosaic only supports unroll == num_steps here.
-        jax.lax.fori_loop(0, RUNS_PER_CHUNK, run_body, 0, unroll=RUNS_PER_CHUNK)
+        # Narrow windows: full unroll — the rolled loop is SCALAR-bound
+        # (~233ns/iteration of loop control + SMEM address math, measured on
+        # v5e, vs ~170ns of actual VPU/MXU work); unrolling cut the
+        # reddit-scale kernel from 54.8ms to 32.9ms. Mosaic only supports
+        # unroll == num_steps, so wide windows (work-bound run bodies, K
+        # sub-gathers each) instead roll an outer loop over unrolled blocks
+        # to bound code size.
+        if unroll == RUNS_PER_CHUNK:
+            jax.lax.fori_loop(0, RUNS_PER_CHUNK,
+                              lambda r, c: (run_body(r), 0)[1], 0,
+                              unroll=RUNS_PER_CHUNK)
+        else:
+            def block_body(q, c):
+                for j in range(unroll):
+                    run_body(q * unroll + j)
+                return c
+
+            jax.lax.fori_loop(0, RUNS_PER_CHUNK // unroll, block_body, 0)
 
     return kernel
 

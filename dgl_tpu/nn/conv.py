@@ -205,7 +205,8 @@ class GATConv(nn.Module):
         narrow = in_d < D
         agg_d = in_d if narrow else D
         cd = g.lane.compute_dtype if g.lane.compute_dtype is not None else jnp.bfloat16
-        if not lane_attn_fits(g.lane.plan, g.reverse.lane.plan, agg_d, cd):
+        if not lane_attn_fits(g.lane.plan, g.reverse.lane.plan, agg_d, cd,
+                              plan2=g.lane.plan2, rplan2=g.reverse.lane.plan2):
             return None
         a_src = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
         a_dst = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
@@ -223,6 +224,7 @@ class GATConv(nn.Module):
         agg = lane_gat_agg(
             g.lane.plan, g.reverse.lane.plan, v, a_src, a_dst,
             g.num_dst_nodes,
+            fplan2=g.lane.plan2, rplan2=g.reverse.lane.plan2,
             rem_fwd=g.lane.remainder, rem_fwd_eid=g.lane.rem_eid,
             rem_rev=g.reverse.lane.remainder, rem_rev_eid=g.reverse.lane.rem_eid,
             negative_slope=self.negative_slope,
@@ -346,11 +348,17 @@ class RelGraphConv(nn.Module):
             )  # (N, R, D)
             out = jnp.einsum("nrd,rdo->no", agg, W)
         else:
-            outs = []
-            for r in range(self.num_relations):
-                agg = gspmm(g, "mul", "mean", x=x, e=edge_weights[:, r : r + 1])
-                outs.append(agg @ W[r])
-            out = sum(outs)
+            # project FIRST (scalar edge weights commute with W_r), then one
+            # relation-contracted pass — 8× less row-gather traffic than a
+            # per-relation gspmm loop (see ops.spmm.gspmm_rel)
+            from ..ops.spmm import gspmm_rel
+
+            y = jnp.einsum("nd,rdo->nro", x, W)  # (N, R, D_out) — MXU batch
+            budget = 1 << 30
+            bytes_full = (g.num_edges_padded * self.num_relations
+                          * self.out_feats * 4)
+            k = max(1, int(-(-bytes_full // budget)))
+            out = gspmm_rel("mean", k, g, y, edge_weights)
         out = out + nn.Dense(
             self.out_feats,
             use_bias=True,

@@ -151,13 +151,18 @@ def _lane_eligible(g: Graph, x, op: str, reduce: str) -> bool:
 
 
 def _lane_forward_sum(g: Graph, x):
-    """copy_u sum via the attached lane plan + XLA remainder."""
+    """copy_u sum via the attached lane plan(s) + XLA remainder: tier-1
+    (narrow window) + optional tier-2 (wide window over tier-1's sparse
+    tiles) + the final row-path remainder."""
     from ..kernels.lane_spmm import lane_spmm
 
     att = g.lane
     cd = att.compute_dtype if att.compute_dtype is not None else jnp.bfloat16
     out = lane_spmm(att.plan, x, compute_dtype=cd,
                     interpret=_lane_interpret())[: g.num_dst_nodes]
+    if att.plan2 is not None:
+        out = out + lane_spmm(att.plan2, x, compute_dtype=cd,
+                              interpret=_lane_interpret())[: g.num_dst_nodes]
     if att.remainder is not None:
         rem = att.remainder
         msg = jnp.take(x, jnp.minimum(rem.src, rem.num_src_nodes - 1), axis=0)
@@ -279,6 +284,203 @@ def _spmm_xe_bwd(op, reduce, exact, res, g_out):
 _spmm_xe.defvjp(_spmm_xe_fwd, _spmm_xe_bwd)
 
 
+# -- edge-chunked binary SpMM (bounded live memory) -------------------------
+#
+# The fused binary path materializes several (E_pad, D) tensors at once in
+# its backward (message, cotangent, per-edge grad, reverse-permuted grad) —
+# at ogbn-proteins scale (39.5M edges × 32 feats, ×8 relations per layer)
+# that exceeds the 16GB v5e HBM (measured: a 20.3GB allocation set; the
+# reference leans on cuSPARSE streaming for the same shape,
+# ``main_dgl_proteins_rgcn_for.py:52``). This variant scans CANONICAL edge
+# chunks: each step gathers/combines/reduces one chunk into an (N_dst, D)
+# accumulator, so live memory is E_pad/k × D for any k — and the custom VJP
+# scans the SAME chunks in backward (recompute instead of residuals).
+
+
+def _echunk_arrays(g: Graph, e, k: int):
+    """Split canonical src/dst/e into k equal chunks (sentinel-padded).
+
+    Edge features are returned FEATURE-MAJOR — (k, F, C), not (k, C, F) —
+    because the TPU (8,128)-tiled layout pads the LAST dim to 128: a
+    (k, C, 8) relation stack would physically occupy 16× its logical size
+    (measured: 20.3GB for a 1.27GB array — the very OOM this path exists to
+    avoid). With C last, tiling padding is negligible."""
+    E = g.num_edges_padded
+    C = -(-E // k)
+    pad = k * C - E
+    s = jnp.concatenate([g.src, jnp.full((pad,), g.num_src_nodes, g.src.dtype)])
+    d = jnp.concatenate([g.dst, jnp.full((pad,), g.num_dst_nodes, g.dst.dtype)])
+    f = 1
+    for dim in e.shape[1:]:
+        f *= dim
+    ef = jnp.swapaxes(e.reshape(E, f), 0, 1)  # (F, E)
+    if pad:
+        ef = jnp.pad(ef, ((0, 0), (0, pad)))
+    return (s.reshape(k, C), d.reshape(k, C),
+            jnp.swapaxes(ef.reshape(f, k, C), 0, 1), pad)  # (k, F, C)
+
+
+def _echunk_unstack(ee, e_shape):
+    """(F, C) feature-major chunk → (C,) + e.shape[1:] (fuses into the
+    consumer combine — no materialized (C, 128)-tiled temp)."""
+    c = ee.shape[-1]
+    return jnp.swapaxes(ee, 0, 1).reshape((c,) + e_shape[1:])
+
+
+def _echunk_restack(ge_chunks, g: Graph, pad: int, e_shape):
+    """Stacked (k, F, C) grads → (E_pad,) + e.shape[1:]."""
+    k, f, c = ge_chunks.shape
+    ge = jnp.swapaxes(ge_chunks, 0, 1).reshape(f, k * c)
+    if pad:
+        ge = ge[:, : g.num_edges_padded]
+    return jnp.swapaxes(ge, 0, 1).reshape((g.num_edges_padded,) + e_shape[1:])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_xe_echunk(op: str, reduce: str, k: int, g: Graph, x, e):
+    srcs, dsts, es, _ = _echunk_arrays(g, e, k)
+    out_shape = jnp.broadcast_shapes(x.shape[1:], e.shape[1:])
+    acc0 = jnp.zeros((g.num_dst_nodes,) + out_shape, jnp.promote_types(x.dtype, e.dtype))
+
+    def body(acc, inp):
+        s, d, ee = inp
+        msg = _combine(op, jnp.take(x, jnp.minimum(s, g.num_src_nodes - 1), axis=0),
+                       _echunk_unstack(ee, e.shape))
+        # sentinel dst == num_dst_nodes is out of range → dropped
+        return acc + segment_sum(msg, d, g.num_dst_nodes, sorted=False), None
+
+    out, _ = jax.lax.scan(body, acc0, (srcs, dsts, es))
+    if reduce == "mean":
+        inv = _inv_deg(g, out.dtype)
+        out = out * inv.reshape(inv.shape + (1,) * (out.ndim - 1))
+    return out
+
+
+def _spmm_xe_echunk_fwd(op, reduce, k, g, x, e):
+    return _spmm_xe_echunk(op, reduce, k, g, x, e), (g, x, e)
+
+
+def _spmm_xe_echunk_bwd(op, reduce, k, res, g_out):
+    g, x, e = res
+    if reduce == "mean":
+        inv = _inv_deg(g, g_out.dtype)
+        g_out = g_out * inv.reshape(inv.shape + (1,) * (g_out.ndim - 1))
+    srcs, dsts, es, pad = _echunk_arrays(g, e, k)
+    gx0 = jnp.zeros(x.shape, g_out.dtype)
+
+    def body(gx, inp):
+        s, d, ee = inp
+        grad_m = jnp.take(g_out, jnp.minimum(d, g.num_dst_nodes - 1), axis=0)
+        # zero sentinel-edge cotangents HERE: their clamped gather reads a
+        # real row, and grad_e is emitted per chunk (can't mask afterwards
+        # without re-materializing full E)
+        mask = (d < g.num_dst_nodes).reshape((-1,) + (1,) * (grad_m.ndim - 1))
+        grad_m = grad_m * mask.astype(grad_m.dtype)
+        xe = jnp.take(x, jnp.minimum(s, g.num_src_nodes - 1), axis=0)
+        _, vjp = jax.vjp(
+            lambda a, b: _combine(op, a, _echunk_unstack(b, e.shape)), xe, ee)
+        grad_xe, grad_e = vjp(grad_m)
+        gx = gx + segment_sum(grad_xe, s, x.shape[0], sorted=False)
+        return gx, grad_e  # grad_e back in (F, C) feature-major layout
+
+    grad_x, ge_chunks = jax.lax.scan(body, gx0, (srcs, dsts, es))
+    grad_e = _echunk_restack(ge_chunks, g, pad, e.shape)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_x.astype(x.dtype), grad_e.astype(e.dtype)
+
+
+_spmm_xe_echunk.defvjp(_spmm_xe_echunk_fwd, _spmm_xe_echunk_bwd)
+
+
+# -- relation-contracted SpMM (RGCN fast path) -------------------------------
+#
+# out[v] = Σ_{e=(u,v)} Σ_r w[e,r] · y[u,r,:]
+#
+# The RGCN-for-proteins layer (``main_dgl_proteins_rgcn_for.py:44-60``) is
+# Σ_r mean_by_dst(x·w_r) @ W_r; since per-edge weights are scalars and W_r
+# is linear they commute, so projecting FIRST (y_r = x @ W_r, an MXU
+# batched matmul) turns 8 separate gather+scatter passes into ONE pass that
+# gathers the (R·D)-wide stacked projection and contracts the relation dim
+# per edge — 8× less row-gather traffic, the TPU bottleneck. Edge-chunked
+# (lax.scan) with a custom VJP so live memory stays (E/k, R, D).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gspmm_rel(reduce: str, k: int, g: Graph, y, w):
+    """Relation-contracted SpMM. y: (N_src, R, D); w: (E_pad, R) canonical.
+
+    Returns (N_dst, D): ``reduce_by_dst(einsum('erd,er->ed', y[src], w))``
+    with mean dividing by the shared in-degree (DGL ``fn.mean`` semantics,
+    zero rows for zero in-degree).
+    """
+    srcs, dsts, ws, _ = _echunk_arrays(g, w, k)
+    n_rel, dd = y.shape[1], y.shape[2]
+    # gather the FLAT (N, R·D) projection: a (C, R, D) gather result would
+    # be (8,128)-tiled with D padded to 128 (4–16× physical blowup); the
+    # flat layout tiles exactly, and the static-R contraction loop below
+    # fuses its slices into the multiply-adds
+    y2 = y.reshape(y.shape[0], n_rel * dd)
+    acc0 = jnp.zeros((g.num_dst_nodes, dd), jnp.promote_types(y.dtype, w.dtype))
+
+    def body(acc, inp):
+        s, d, ee = inp  # ee: (R, C) feature-major
+        ye = jnp.take(y2, jnp.minimum(s, g.num_src_nodes - 1), axis=0)
+        msg = sum(
+            ye[:, r * dd : (r + 1) * dd] * ee[r][:, None].astype(ye.dtype)
+            for r in range(n_rel)
+        )
+        return acc + segment_sum(msg, d, g.num_dst_nodes, sorted=False), None
+
+    out, _ = jax.lax.scan(body, acc0, (srcs, dsts, ws))
+    if reduce == "mean":
+        inv = _inv_deg(g, out.dtype)
+        out = out * inv[:, None]
+    return out
+
+
+def _gspmm_rel_fwd(reduce, k, g, y, w):
+    return gspmm_rel(reduce, k, g, y, w), (g, y, w)
+
+
+def _gspmm_rel_bwd(reduce, k, res, g_out):
+    g, y, w = res
+    if reduce == "mean":
+        g_out = g_out * _inv_deg(g, g_out.dtype)[:, None]
+    srcs, dsts, ws, pad = _echunk_arrays(g, w, k)
+    n_rel, dd = y.shape[1], y.shape[2]
+    y2 = y.reshape(y.shape[0], n_rel * dd)
+    gy0 = jnp.zeros(y2.shape, g_out.dtype)
+
+    def body(gy, inp):
+        s, d, ee = inp  # ee: (R, C) feature-major
+        grad_m = jnp.take(g_out, jnp.minimum(d, g.num_dst_nodes - 1), axis=0)
+        grad_m = grad_m * (d < g.num_dst_nodes)[:, None].astype(grad_m.dtype)
+        ye = jnp.take(y2, jnp.minimum(s, g.num_src_nodes - 1), axis=0)
+        grad_w = jnp.stack([
+            jnp.sum(ye[:, r * dd : (r + 1) * dd].astype(grad_m.dtype) * grad_m,
+                    axis=1)
+            for r in range(n_rel)
+        ])  # (R, C) feature-major
+        grad_ye = jnp.concatenate(
+            [grad_m * ee[r][:, None].astype(grad_m.dtype) for r in range(n_rel)],
+            axis=1)  # (C, R·D) flat
+        gy = gy + segment_sum(grad_ye, s, y.shape[0], sorted=False)
+        return gy, grad_w
+
+    grad_y, gw_chunks = jax.lax.scan(body, gy0, (srcs, dsts, ws))
+    grad_y = grad_y.reshape(y.shape)
+    grad_w = _echunk_restack(gw_chunks, g, pad, w.shape)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_y.astype(y.dtype), grad_w.astype(w.dtype)
+
+
+gspmm_rel.defvjp(_gspmm_rel_fwd, _gspmm_rel_bwd)
+
+
 def gspmm(
     g: Graph,
     op: str,
@@ -368,6 +570,18 @@ def gspmm(
             )
             return jnp.moveaxis(outs, 0, 1).reshape(g.num_dst_nodes, d_pad)[:, :d]
     if needs_x and needs_e and reduce in ("sum", "mean"):
+        # binary ops build (E_pad, D) messages; the BACKWARD holds ~4 of
+        # them live (cotangent, xe, grad_xe, reverse-permuted grad_xe), so
+        # chunk edges when the full message exceeds 1/4 of the budget
+        budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "4")) * (1 << 30)
+        out_shape = jnp.broadcast_shapes(x.shape[1:], e.shape[1:] if e.ndim else ())
+        numel = 1
+        for dim in out_shape:
+            numel *= dim
+        bytes_full = g.num_edges_padded * numel * jnp.promote_types(x.dtype, e.dtype).itemsize
+        if bytes_full > budget / 4 and e.ndim:
+            k = int(-(-bytes_full // (budget / 4)))
+            return _spmm_xe_echunk(op, reduce, k, g, x, e)
         return _spmm_xe(op, reduce, exact, g, x, e)
     if needs_x and not needs_e and reduce in ("sum", "mean"):
         # reuse the custom-VJP path with a scalar dummy edge operand

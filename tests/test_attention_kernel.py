@@ -214,3 +214,60 @@ def test_lane_gat_multi_window_forward_and_grads(rng, window):
     for a, b, name in zip(gl, gr, ("v", "a_src", "a_dst")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("keep", [1.0, 0.7])
+def test_lane_gat_two_tier_matches_reference(rng, keep):
+    """v4 tier-2: fused attention with a wide-window second plan over the
+    tier-1 remainder must match the dense reference (values + grads),
+    including dropout masks keyed on canonical eids across both tiers."""
+    from dgl_tpu.kernels.lane_spmm import build_plan
+
+    n, h, d = 20000, 2, 8
+    src = np.concatenate([rng.integers(0, 128, 3000), rng.integers(0, n, 3000)])
+    dst = rng.integers(0, n, 6000)
+    g = attach_lane_plans(
+        dgl_tpu.from_edges(src, dst, n), dense_threshold=100, max_expansion=1e9
+    )
+    fplan, rplan = g.lane.plan, g.reverse.lane.plan
+    assert len(fplan.rem_src) > 0 and len(rplan.rem_src) > 0
+    # build tier-2 manually at full coverage (threshold=1 -> no remainder)
+    fplan2 = build_plan(fplan.rem_src, fplan.rem_dst, n, n,
+                        dense_threshold=1, eid=fplan.rem_eid, window=2048)
+    rplan2 = build_plan(rplan.rem_src, rplan.rem_dst, n, n,
+                        dense_threshold=1, eid=rplan.rem_eid, window=2048)
+    assert len(fplan2.rem_src) == 0 and len(rplan2.rem_src) == 0
+
+    src_c, dst_c = g.edges_numpy()
+    v = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    seed = 23
+
+    def run_lane(v, a_s, a_d):
+        return lane_gat_agg(
+            fplan, rplan, v, a_s, a_d, n, fplan2=fplan2, rplan2=rplan2,
+            attn_keep=keep, seed=seed, compute_dtype=jnp.float32,
+            interpret=True,
+        )
+
+    out = run_lane(v, a_s, a_d)
+    ref = _ref_gat(src_c, dst_c, n, v, a_s, a_d, 0.2, keep, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+    tgt = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+    l1, grads1 = jax.value_and_grad(
+        lambda v, a, b: jnp.sum((run_lane(v, a, b) - tgt) ** 2), argnums=(0, 1, 2)
+    )(v, a_s, a_d)
+    l2, grads2 = jax.value_and_grad(
+        lambda v, a, b: jnp.sum(
+            (_ref_gat(src_c, dst_c, n, v, a, b, 0.2, keep, seed) - tgt) ** 2),
+        argnums=(0, 1, 2),
+    )(v, a_s, a_d)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for gl, gr_, name in zip(grads1, grads2, ("v", "a_src", "a_dst")):
+        np.testing.assert_allclose(
+            np.asarray(gl), np.asarray(gr_), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch: {name}",
+        )

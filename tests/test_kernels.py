@@ -193,7 +193,7 @@ def test_attach_plan_cache_rejects_changed_graph(rng, tmp_path):
     assert len(files) == 2
 
 
-@pytest.mark.parametrize("window", [256, 512, 1024])
+@pytest.mark.parametrize("window", [256, 512, 1024, 2048, 8192])
 def test_lane_spmm_multi_window(rng, window):
     """v3 multi-window runs: K sub-bucket gathers + select must reproduce
     the exact copy_u/sum aggregation for every window width."""
@@ -212,7 +212,7 @@ def test_lane_spmm_multi_window(rng, window):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("window", [256, 1024])
+@pytest.mark.parametrize("window", [256, 1024, 4096])
 def test_lane_spmm_multi_window_weights(rng, window):
     """u_mul_e through a wide-window plan (plan-layout weights)."""
     from dgl_tpu.kernels.lane_spmm import plan_layout_edata
@@ -255,3 +255,84 @@ def test_choose_plan_config_prefers_wide_window_on_sparse_pairs(rng):
     dst2 = rng.integers(0, 1024, 60000)
     w2, thr2, info2 = choose_plan_config(src2, dst2)
     assert info2["rem_frac"] == 0.0 and info2["expansion"] < 1.1
+
+
+def test_two_tier_attach_and_dispatch(rng, monkeypatch):
+    """v4 tier-2: a graph whose tier-1 remainder is large must attach a
+    wide-window plan2 covering it, and the gspmm dispatch (tier-1 + tier-2 +
+    final remainder) must match the XLA path for value and grad."""
+    import importlib
+
+    import dgl_tpu.kernels.attach as attach_mod
+    import dgl_tpu.ops.spmm as spmm_mod
+    from dgl_tpu.kernels import attach_lane_plans
+
+    lane_mod = importlib.import_module("dgl_tpu.kernels.lane_spmm")
+
+    n = 60000
+    # dense block (tier-1 tiles) + uniform tail: at n=60k the tail's (group,
+    # 128-bucket) pairs hold ~1 edge (tier-1 remainder) while its (group,
+    # 8192-window) tiles hold ~60 (tier-2 servable)
+    src = np.concatenate([rng.integers(0, 256, 40000), rng.integers(0, n, 30000)])
+    dst = np.concatenate([rng.integers(0, 1024, 40000), rng.integers(0, n, 30000)])
+    g = dgl_tpu.from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    ref = np.asarray(gspmm(g, "copy_u", "sum", x=x))
+    ref_grad = np.asarray(
+        jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", "sum", x=x) ** 2))(x)
+    )
+
+    monkeypatch.setattr(attach_mod, "_TIER2_MIN_EDGES", 1000)
+    monkeypatch.setattr(attach_mod, "_TIER2_REM_NS", 1e9)  # always keep
+    g2 = attach_lane_plans(g, dense_threshold=48, max_expansion=100.0)
+    assert len(g2.lane.plan.rem_src) > 0, "tier-1 must leave a remainder"
+    assert g2.lane.plan2 is not None, "tier-2 plan must attach"
+    assert g2.lane.plan2.window > 1024
+    # tier-2 covers most of tier-1's remainder
+    assert len(g2.lane.plan2.rem_src) < len(g2.lane.plan.rem_src) / 2
+
+    monkeypatch.setattr(spmm_mod.jax, "default_backend", lambda: "tpu")
+    orig = lane_mod.lane_spmm
+    monkeypatch.setattr(
+        lane_mod, "lane_spmm",
+        lambda plan, x, **kw: orig(plan, x, **{**kw, "interpret": True,
+                                               "compute_dtype": jnp.float32}),
+    )
+    out = np.asarray(gspmm(g2, "copy_u", "sum", x=x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    grad = np.asarray(
+        jax.grad(lambda x: jnp.sum(gspmm(g2, "copy_u", "sum", x=x) ** 2))(x)
+    )
+    np.testing.assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-3)
+
+
+def test_two_tier_cache_roundtrip(rng, tmp_path, monkeypatch):
+    """plan2 must survive the npz cache round-trip bit-identically."""
+    import os
+
+    import dgl_tpu.kernels.attach as attach_mod
+    from dgl_tpu.kernels import attach_lane_plans
+
+    monkeypatch.setattr(attach_mod, "_TIER2_MIN_EDGES", 1000)
+    monkeypatch.setattr(attach_mod, "_TIER2_REM_NS", 1e9)
+    n = 50000
+    src = np.concatenate([rng.integers(0, 256, 30000), rng.integers(0, n, 20000)])
+    dst = np.concatenate([rng.integers(0, 1024, 30000), rng.integers(0, n, 20000)])
+    g = dgl_tpu.from_edges(src, dst, n)
+    fresh = attach_lane_plans(g, dense_threshold=48, max_expansion=100.0,
+                              cache_dir=str(tmp_path), cache_key="t2")
+    assert fresh.lane.plan2 is not None
+    reloaded = attach_lane_plans(g, dense_threshold=48, max_expansion=100.0,
+                                 cache_dir=str(tmp_path), cache_key="t2")
+    for att_a, att_b in [(fresh.lane, reloaded.lane),
+                         (fresh.reverse.lane, reloaded.reverse.lane)]:
+        assert (att_a.plan2 is None) == (att_b.plan2 is None)
+        if att_a.plan2 is None:
+            continue
+        pa, pb = att_a.plan2, att_b.plan2
+        assert pa.window == pb.window
+        for f in ("meta", "bucket", "group", "first", "eid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pa, f)), np.asarray(getattr(pb, f)), err_msg=f)
+        np.testing.assert_array_equal(pa.rem_src, pb.rem_src)

@@ -304,3 +304,79 @@ def test_node_relabel_equivariance(rng):
     o1 = np.asarray(gspmm(g1, "copy_u", "sum", x=jnp.asarray(x)))
     o2 = np.asarray(gspmm(g2, "copy_u", "sum", x=jnp.asarray(x2)))
     np.testing.assert_allclose(o2[perm], o1, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_spmm_edge_chunked_matches(rng, reduce, k):
+    """_spmm_xe_echunk (bounded-memory binary SpMM) must match the fused
+    path bit-for-bit in value and in grads wrt x and e, for any chunk
+    count — including chunks that straddle the sentinel-padded tail."""
+    from dgl_tpu.ops.spmm import _spmm_xe, _spmm_xe_echunk
+
+    n_src, n_dst, n_e, d = 29, 23, 150, 6
+    g, src, dst = _mk(rng, n_src, n_dst, n_e)
+    x = jnp.asarray(rng.standard_normal((n_src, d)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((g.num_edges_padded, 1)).astype(np.float32))
+
+    ref = _spmm_xe("mul", reduce, True, g, x, e)
+    out = _spmm_xe_echunk("mul", reduce, k, g, x, e)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    def loss_ref(x, e):
+        return jnp.sum(_spmm_xe("mul", reduce, True, g, x, e) ** 2)
+
+    def loss_chk(x, e):
+        return jnp.sum(_spmm_xe_echunk("mul", reduce, k, g, x, e) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, e)
+    gc = jax.grad(loss_chk, argnums=(0, 1))(x, e)
+    for a, b, name in zip(gc, gr, ("x", "e")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_spmm_edge_chunk_dispatch(rng, monkeypatch):
+    """gspmm auto-dispatches huge binary messages to the edge-chunked path
+    (shrunken budget so a tiny graph qualifies) with identical results."""
+    import dgl_tpu.ops.spmm as spmm_mod
+
+    n, d = 40, 8
+    g, src, dst = _mk(rng, n, n, 300)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((g.num_edges_padded, 1)).astype(np.float32))
+    ref = np.asarray(gspmm(g, "mul", "mean", x=x, e=e))
+    monkeypatch.setenv("DGL_TPU_MSG_BUDGET_GB", "0.0000004")  # ~430 bytes / 4
+    out = np.asarray(gspmm(g, "mul", "mean", x=x, e=e))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("k", [1, 4])
+def test_gspmm_rel_matches_loop(rng, reduce, k):
+    """gspmm_rel (relation-contracted SpMM) must equal the per-relation
+    gspmm loop in value and grads — the RGCN fast-path identity
+    Σ_r agg(x·w_r)@W_r == one pass over y_r = x@W_r stacked."""
+    from dgl_tpu.ops.spmm import gspmm_rel
+
+    n_src, n_dst, n_e, R, d = 31, 27, 180, 5, 4
+    g, src, dst = _mk(rng, n_src, n_dst, n_e)
+    y = jnp.asarray(rng.standard_normal((n_src, R, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((g.num_edges_padded, R)).astype(np.float32))
+
+    def loop_ref(y, w):
+        return sum(
+            gspmm(g, "mul", reduce, x=y[:, r], e=w[:, r : r + 1])
+            for r in range(R)
+        )
+
+    ref = loop_ref(y, w)
+    out = gspmm_rel(reduce, k, g, y, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    gr = jax.grad(lambda y, w: jnp.sum(loop_ref(y, w) ** 2), argnums=(0, 1))(y, w)
+    gc = jax.grad(lambda y, w: jnp.sum(gspmm_rel(reduce, k, g, y, w) ** 2),
+                  argnums=(0, 1))(y, w)
+    for a, b, name in zip(gc, gr, ("y", "w")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

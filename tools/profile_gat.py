@@ -42,7 +42,9 @@ def main():
     ap.add_argument("--dh", type=int, default=16)
     ap.add_argument("--heads", type=int, default=1)
     ap.add_argument("--keep", type=float, default=0.82)
-    ap.add_argument("--dense-threshold", type=int, default=48)
+    ap.add_argument("--dense-threshold", type=int, default=None,
+                    help="None = auto-tuned, matching the benchmark driver "
+                         "(and sharing its plan cache file)")
     ap.add_argument("--max-expansion", type=float, default=2.5)
     args = ap.parse_args()
 
@@ -66,6 +68,7 @@ def main():
     g = attach_lane_plans(
         dgl_tpu.from_edges(src, dst, data.num_nodes),
         dense_threshold=args.dense_threshold, max_expansion=args.max_expansion,
+        cache_dir=data_root(), cache_key=f"{args.dataset}_s1.0_gat",
     )
     n = data.num_nodes
     h, dh = args.heads, args.dh
@@ -84,6 +87,7 @@ def main():
     def lane_fwd(c, gg, v, a_s, a_d):
         out = lane_gat_agg(
             gg.lane.plan, gg.reverse.lane.plan, v + c, a_s, a_d, n,
+            fplan2=gg.lane.plan2, rplan2=gg.reverse.lane.plan2,
             rem_fwd=gg.lane.remainder, rem_fwd_eid=gg.lane.rem_eid,
             rem_rev=gg.reverse.lane.remainder, rem_rev_eid=gg.reverse.lane.rem_eid,
             attn_keep=args.keep, seed=3,
@@ -94,6 +98,7 @@ def main():
         def loss(v, a_s, a_d):
             out = lane_gat_agg(
                 gg.lane.plan, gg.reverse.lane.plan, v, a_s, a_d, n,
+                fplan2=gg.lane.plan2, rplan2=gg.reverse.lane.plan2,
                 rem_fwd=gg.lane.remainder, rem_fwd_eid=gg.lane.rem_eid,
                 rem_rev=gg.reverse.lane.remainder, rem_rev_eid=gg.reverse.lane.rem_eid,
                 attn_keep=args.keep, seed=3,
