@@ -95,7 +95,7 @@ def main():
             # chip unreachable: report the last recorded full-protocol
             # harness measurement rather than hanging with no output
             rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "suite_r02", "results.json")
+                               "docs", "suite_r03", "results.json")
             try:
                 row = next(r for r in json.load(open(rec))
                            if r["workload"] == "reddit_sage")

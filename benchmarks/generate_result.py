@@ -167,9 +167,19 @@ def run_one(script: str, extra, timeout: int, with_eval: bool = True):
         if proc.returncode != 0:
             res["stderr_tail"] = "\n".join(proc.stderr.splitlines()[-5:])
         return res
-    except subprocess.TimeoutExpired:
-        return {"status": "timeout", "time_per_epoch": None,
-                "final_train": None, "final_test": None}
+    except subprocess.TimeoutExpired as exc:
+        # salvage what the driver printed before the deadline: epoch timings
+        # scraped from partial stdout tell us WHERE the budget went (slow
+        # epochs vs hung setup) and the tail shows the last thing it did
+        part = exc.stdout or b""
+        if isinstance(part, bytes):
+            part = part.decode(errors="replace")
+        res = parse_output(part)
+        res["status"] = "timeout"
+        tail = [ln for ln in part.splitlines() if ln.strip()][-3:]
+        if tail:
+            res["stderr_tail"] = "timeout; last stdout: " + " | ".join(tail)
+        return res
 
 
 def main():
@@ -227,6 +237,11 @@ def main():
             "final_train", "final_test", "wall_s"]
     if any("note" in r for r in rows):
         cols.append("note")
+    # failure diagnosis: keep the stderr tail in the (scratch) row output —
+    # the watcher only merges ok rows into the published results, so this
+    # never reaches docs/
+    if any("stderr_tail" in r for r in rows):
+        cols.append("stderr_tail")
     df = pd.DataFrame(rows)[cols]
     os.makedirs(args.out, exist_ok=True)
     df.to_csv(os.path.join(args.out, "results.csv"), index=False)

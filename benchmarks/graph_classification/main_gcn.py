@@ -154,7 +154,7 @@ def main():
         key = jax.random.PRNGKey(run)
         b0, nf0, ef0, _ = train_loader.first()
         a0 = (b0, nf0, ef0) if is_mol else (b0, nf0)
-        variables = model.init(key, *a0)
+        variables = jax.jit(model.init)(key, *a0)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         opt_state = tx.init(params)
         for epoch in range(1, args.epochs + 1):

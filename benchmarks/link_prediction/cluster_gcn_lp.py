@@ -145,7 +145,7 @@ def main():
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
         first = cluster_iter.first()
-        params = model.init(key, first.graph, first.x)["params"]
+        params = jax.jit(model.init)(key, first.graph, first.x)["params"]
         pred_params = (
             predictor.init(key, jnp.zeros((4, args.n_hidden)), jnp.zeros((4, args.n_hidden)))
             if predictor is not None else None

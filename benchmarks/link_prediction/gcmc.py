@@ -68,7 +68,7 @@ def main():
     enc_tr, dec_tr, y_tr = data.train
     y_tr = jnp.asarray(y_tr)
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), enc_tr, dec_tr, ufeat, ifeat, data.norms
     )["params"]
 

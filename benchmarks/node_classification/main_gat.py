@@ -168,7 +168,7 @@ def main():
     dur = []
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
-        params = model.init(key, g, x)["params"]
+        params = jax.jit(model.init)(key, g, x)["params"]
         opt_state = tx.init(params)
         scan_k = args.scan_epochs if (args.scan_epochs > 1 and not args.eval) else 1
         epoch = 0

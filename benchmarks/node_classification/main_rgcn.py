@@ -90,7 +90,7 @@ def main():
     dur = []
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
-        params = model.init(key, g, node_feats, edge_weights)["params"]
+        params = jax.jit(model.init)(key, g, node_feats, edge_weights)["params"]
         opt_state = tx.init(params)
         for epoch in range(args.epochs):
             key, sub = jax.random.split(key)

@@ -307,7 +307,7 @@ def main():
     dur = []
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
-        variables = model.init(key, g, x, x_agg=x_agg)
+        variables = jax.jit(model.init)(key, g, x, x_agg=x_agg)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)

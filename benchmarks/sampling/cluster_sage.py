@@ -110,7 +110,7 @@ def main():
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
         first = cluster_iter.first()
-        params = model.init(key, first.graph, first.x)["params"]
+        params = jax.jit(model.init)(key, first.graph, first.x)["params"]
         opt = tx.init(params)
         dur = []
         for epoch in range(args.n_epochs):
@@ -118,14 +118,15 @@ def main():
             t0 = time.time()
             loss = None
             for batch in cluster_iter:
-                if not bool(batch.mask.any()):
+                if not batch.has_train:
                     continue  # no train nodes in this cluster batch (main.py:138)
                 key, sub = jax.random.split(key)
                 with timer.phase("forward_backward"):
                     params, opt, loss = train_step(
                         params, opt, sub, batch.graph, batch.x, batch.y, batch.mask
                     )
-                    loss = float(loss)
+            if loss is not None:
+                loss = float(loss)  # one epoch-end sync, not one per step
             if epoch >= 3 and loss is not None:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))

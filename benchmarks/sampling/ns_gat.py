@@ -78,7 +78,7 @@ def main():
     # init with one sampled batch
     b0 = sampler.sample(csr, train_nid[: args.batch_size], np.random.default_rng(0), args.batch_size)
     x0 = jnp.take(x, b0.input_nodes, axis=0)
-    params = model.init(jax.random.PRNGKey(args.seed), b0.blocks, x0)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), b0.blocks, x0)["params"]
     tx = optax.adam(args.lr)
     opt = tx.init(params)
 

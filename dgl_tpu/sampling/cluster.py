@@ -50,6 +50,9 @@ class ClusterBatch:
     y: jnp.ndarray
     mask: jnp.ndarray  # train mask AND valid-node mask
     neg_graph: Optional[Graph] = None  # link prediction: uniform negatives
+    # host-side "any train nodes?" flag: the skip-batch check
+    # (cluster-sage main.py:138) must not cost a device sync per step
+    has_train: bool = True
 
 
 class ClusterIter:
@@ -126,7 +129,7 @@ class ClusterIter:
             neg = from_edges(s, neg_dst, n_pad, e_pad=e_pad)
         return ClusterBatch(
             graph=g, nodes=nodes, x=jnp.asarray(x), y=jnp.asarray(y),
-            mask=jnp.asarray(m), neg_graph=neg,
+            mask=jnp.asarray(m), neg_graph=neg, has_train=bool(m.any()),
         )
 
     def first(self) -> ClusterBatch:

@@ -29,13 +29,14 @@ RESULTS = os.environ.get(
 STATE = "/tmp/suite_watcher.state"
 LOG = "/tmp/suite_watcher.log"
 
-# cheap + headline rows first; products last (2 min host prep per attempt)
+# non-lane-path rows first (their numbers are final); lane-path rows
+# (reddit/arxiv GAT, products) last — round 3 is landing a tier-2 plan that
+# changes those, so they are re-measured after it lands anyway
 ROW_ORDER = [
-    "reddit_gat", "cora_gat", "pubmed_gat", "arxiv_gat",
-    "proteins_rgcn", "enzymes_gcn", "molhiv_gcn", "ppa_gcn",
-    "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
+    "cora_gat", "pubmed_gat", "enzymes_gcn", "molhiv_gcn", "ppa_gcn",
+    "proteins_rgcn", "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
     "cluster_sage_products", "cluster_gat_products", "cluster_lp_arxiv",
-    "products_sage",
+    "reddit_gat", "arxiv_gat", "products_sage",
 ]
 
 # Health = steady-state DISPATCH latency of one cached jit (the thing a
