@@ -28,7 +28,12 @@ from common import (  # noqa: E402
 
 import dgl_tpu  # noqa: E402
 from dgl_tpu.models import GAT  # noqa: E402
-from dgl_tpu.sampling import CSRGraph, MultiLayerNeighborSampler, NodeDataLoader  # noqa: E402
+from dgl_tpu.sampling import (  # noqa: E402
+    CSRGraph,
+    DeviceNeighborSampler,
+    MultiLayerNeighborSampler,
+    NodeDataLoader,
+)
 
 
 def main():
@@ -48,6 +53,10 @@ def main():
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--host-sampler", action="store_true",
+                   help="sample on host threads (the round-1/2 path) instead "
+                        "of on device; device sampling cuts per-step H2D to "
+                        "the seed ids")
     args = p.parse_args()
     print(args)
 
@@ -66,7 +75,20 @@ def main():
     test_nid = np.where(data.test_mask)[0]
 
     sampler = MultiLayerNeighborSampler(fanouts)
-    loader = NodeDataLoader(csr, train_nid, sampler, args.batch_size, seed=args.seed)
+    if args.host_sampler:
+        loader = NodeDataLoader(csr, train_nid, sampler, args.batch_size, seed=args.seed)
+    else:
+        dsampler = DeviceNeighborSampler(csr, fanouts)
+        loader_rng = np.random.default_rng(args.seed)
+        dkey = jax.random.PRNGKey(args.seed + 17)
+
+        def device_loader():
+            nonlocal dkey
+            idx = loader_rng.permutation(train_nid)
+            for i in range(0, len(idx), args.batch_size):
+                dkey, sub = jax.random.split(dkey)
+                yield dsampler.sample(idx[i : i + args.batch_size], sub,
+                                      args.batch_size)
 
     model = GAT(
         hidden_feats=args.num_hidden,
@@ -125,22 +147,24 @@ def main():
     for epoch in range(args.num_epochs):
         tic = time.time()
         tic_step = time.time()
-        for step, mb in enumerate(loader):
+        it = loader if args.host_sampler else device_loader()
+        for step, mb in enumerate(it):
             key, sub = jax.random.split(key)
             params, opt, loss, acc = train_step(
                 params, opt, sub, mb.blocks, mb.input_nodes, mb.seeds, mb.seed_mask, x, y
             )
-            loss = float(loss)  # step sync
             iter_tput.append(args.batch_size / (time.time() - tic_step))
             if step % args.log_every == 0:
+                # the ONLY per-step device sync is this logging readback
                 print(
                     "Epoch {:05d} | Step {:05d} | Loss {:.4f} | Train Acc {:.4f} | "
                     "Speed (samples/sec) {:.4f} | GPU {:.1f} MiB".format(
-                        epoch, step, loss, float(acc), float(np.mean(iter_tput[3:]))
+                        epoch, step, float(loss), float(acc), float(np.mean(iter_tput[3:]))
                         if len(iter_tput) > 3 else 0.0, device_mem_mib(),
                     )
                 )
             tic_step = time.time()
+        jax.block_until_ready(loss)  # epoch timing counts in-flight steps
         toc = time.time()
         print("Epoch Time(s): {:.4f}".format(toc - tic))
         if epoch >= 5:

@@ -1,5 +1,6 @@
 from .dataloader import GraphBatchLoader, prefetch
 from .neighbor import CSRGraph, MultiLayerNeighborSampler, NodeDataLoader, MiniBatch
+from .device import DeviceNeighborSampler
 from .cluster import ClusterIter, ClusterBatch
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "prefetch",
     "CSRGraph",
     "MultiLayerNeighborSampler",
+    "DeviceNeighborSampler",
     "NodeDataLoader",
     "MiniBatch",
     "ClusterIter",

@@ -90,6 +90,14 @@ class MultiLayerNeighborSampler:
                 "use replace=True (reference products sampler does too)"
             )
         self.fanouts = list(fanouts)
+        # block skeletons keyed by b_pad: the positional-slot block layout
+        # (src/dst/eid/indptr and the analytic transpose) depends only on
+        # (n_dst, fanout) — NOT on the sampled data. Rebuilding it per step
+        # re-uploads ~5MB of constant arrays through the device tunnel
+        # every minibatch (measured: it dominated NS epoch time); cached
+        # device-resident blocks make the per-step H2D just
+        # input_nodes/seeds/mask.
+        self._skel = {}
 
     def sample_layer(
         self, csr: CSRGraph, seeds: np.ndarray, fanout: int, rng: np.random.Generator
@@ -105,28 +113,21 @@ class MultiLayerNeighborSampler:
             int(rng.integers(0, 2**63 - 1)),
         )
 
-    def sample(
-        self, csr: CSRGraph, seeds: np.ndarray, rng: np.random.Generator, b_pad: int
-    ) -> MiniBatch:
-        b = len(seeds)
-        seeds_p = np.zeros(b_pad, dtype=np.int64)
-        seeds_p[:b] = seeds
-        mask = np.zeros(b_pad, dtype=bool)
-        mask[:b] = True
+    def skeleton_blocks(self, b_pad: int) -> List[Graph]:
+        """Device-resident block list for batch size ``b_pad`` (cached).
 
-        blocks: List[Graph] = []
-        cur = seeds_p
-        # innermost-first construction (like ns-gat-dgl.py:40 reversal)
+        Edges connect neighbor slot (n_dst + i·fanout + j) → dst i; seed-
+        major generation means BOTH src and dst are already ascending, so
+        the forward block and its analytic transpose share the same edge
+        order and everything stays sort-free. The layout is independent of
+        WHICH nodes were sampled, so one structure serves every step."""
+        blocks = self._skel.get(b_pad)
+        if blocks is not None:
+            return blocks
+        blocks = []
+        n_dst = b_pad
         for fanout in reversed(self.fanouts):
-            nbrs = self.sample_layer(csr, cur, fanout, rng)  # (len(cur), fanout)
-            n_dst = len(cur)
             n_src = n_dst + n_dst * fanout
-            # src list = dst nodes first, then sampled neighbors
-            src_ids = np.concatenate([cur, nbrs.reshape(-1)])
-            # edges: neighbor slot (n_dst + i*fanout + j) → dst i; seed-major
-            # generation means BOTH src and dst are already ascending, so the
-            # forward block and its transpose share the same edge order and
-            # everything stays sort-free.
             n_e = n_dst * fanout
             e_pad = pad_length(n_e)
             e_src = np.full(e_pad, n_src, dtype=np.int32)
@@ -149,7 +150,7 @@ class MultiLayerNeighborSampler:
                 num_edges=n_e,
                 reverse=None,
             )
-            blk = Graph(
+            blocks.append(Graph(
                 src=jnp.asarray(e_src),
                 dst=jnp.asarray(e_dst),
                 indptr=jnp.asarray(indptr),
@@ -159,10 +160,28 @@ class MultiLayerNeighborSampler:
                 num_edges=n_e,
                 reverse=rev,
                 block_fanout=fanout,
-            )
-            blocks.append(blk)
-            cur = src_ids
+            ))
+            n_dst = n_src
         blocks.reverse()
+        self._skel[b_pad] = blocks
+        return blocks
+
+    def sample(
+        self, csr: CSRGraph, seeds: np.ndarray, rng: np.random.Generator, b_pad: int
+    ) -> MiniBatch:
+        b = len(seeds)
+        seeds_p = np.zeros(b_pad, dtype=np.int64)
+        seeds_p[:b] = seeds
+        mask = np.zeros(b_pad, dtype=bool)
+        mask[:b] = True
+
+        blocks = self.skeleton_blocks(b_pad)
+        cur = seeds_p
+        # innermost-first construction (like ns-gat-dgl.py:40 reversal)
+        for fanout in reversed(self.fanouts):
+            nbrs = self.sample_layer(csr, cur, fanout, rng)  # (len(cur), fanout)
+            # src list = dst nodes first, then sampled neighbors
+            cur = np.concatenate([cur, nbrs.reshape(-1)])
         return MiniBatch(
             blocks=blocks,
             input_nodes=jnp.asarray(cur.astype(np.int32)),

@@ -201,3 +201,59 @@ def test_graph_batch_loader_epad_bound_holds_for_any_batch(rng):
     for _ in range(6):
         for batch, nf, ef, y in loader:
             assert batch.graph.num_edges <= loader.e_pad
+
+
+def test_device_sampler_matches_host_structure(rng):
+    """DeviceNeighborSampler must produce the same static block structure
+    as the host sampler (identical skeletons) and input_nodes that (a) keep
+    seeds in the first B slots, (b) only reference true in-neighbors of
+    their dst (or the dst itself for zero-in-degree nodes)."""
+    import jax
+    from dgl_tpu.sampling import CSRGraph, DeviceNeighborSampler, MultiLayerNeighborSampler
+
+    n, ne = 200, 900
+    src = rng.integers(0, n, ne)
+    dst = rng.integers(0, n, ne)
+    csr = CSRGraph.from_edges(src, dst, n)
+    fanouts = [3, 2]
+    b = 16
+    host = MultiLayerNeighborSampler(fanouts)
+    dev = DeviceNeighborSampler(csr, fanouts)
+
+    seeds = rng.choice(n, b, replace=False)
+    mb_h = host.sample(csr, seeds, np.random.default_rng(0), b)
+    mb_d = dev.sample(seeds, jax.random.PRNGKey(0), b)
+
+    assert len(mb_h.blocks) == len(mb_d.blocks)
+    for bh, bd in zip(mb_h.blocks, mb_d.blocks):
+        assert bh.num_src_nodes == bd.num_src_nodes
+        assert bh.num_dst_nodes == bd.num_dst_nodes
+        np.testing.assert_array_equal(np.asarray(bh.src), np.asarray(bd.src))
+        np.testing.assert_array_equal(np.asarray(bh.dst), np.asarray(bd.dst))
+    inp = np.asarray(mb_d.input_nodes)
+    assert inp.shape == np.asarray(mb_h.input_nodes).shape
+    np.testing.assert_array_equal(inp[:b], seeds)
+
+    # in-neighbor sets per node (graph semantics: edge src -> dst, sampler
+    # draws in-neighbors of the dst/seed side)
+    nbrs = {v: set(src[dst == v]) for v in range(n)}
+    # walk the layered layout: slots [cur_len : cur_len + cur_len*fanout)
+    # hold fanout samples per parent, innermost-first order mirrors host
+    cur = inp[:b]
+    off = b
+    for fanout in reversed(fanouts):
+        samp = inp[off : off + len(cur) * fanout].reshape(len(cur), fanout)
+        for parent, row in zip(cur, samp):
+            allowed = nbrs[parent] if nbrs[parent] else {parent}
+            assert set(row.tolist()) <= allowed, (parent, row, allowed)
+        cur = inp[: off + len(cur) * fanout]
+        off = len(cur)
+
+    # distribution sanity: a hub with many in-neighbors gets diverse draws
+    hub_src = np.arange(100)
+    hub_dst = np.zeros(100, np.int64)
+    csr2 = CSRGraph.from_edges(hub_src, hub_dst, 101)
+    dev2 = DeviceNeighborSampler(csr2, [50])
+    mb = dev2.sample(np.zeros(4, np.int64), jax.random.PRNGKey(1), 4)
+    draws = np.asarray(mb.input_nodes)[4:]
+    assert len(np.unique(draws)) > 25  # ~50 draws x 4 seeds from 100 nbrs
