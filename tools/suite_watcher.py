@@ -93,6 +93,7 @@ def merge_row(row):
     tmp = RESULTS + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rows, f, indent=1)
+        f.write("\n")
     os.replace(tmp, RESULTS)
 
 
@@ -141,9 +142,13 @@ def row_done(row):
 def main():
     deadline = time.time() + float(os.environ.get("WATCH_HOURS", "10")) * 3600
     row_timeout = int(os.environ.get("ROW_TIMEOUT", "2400"))
+    # SUITE_ROWS=a,b,c scopes the watcher to a row subset (e.g. run the
+    # non-lane rows while kernel work is still landing on the lane rows)
+    only = [s for s in os.environ.get("SUITE_ROWS", "").split(",") if s]
     attempts = {}  # rows that timed out/failed rotate to the back, max 2 tries
     while time.time() < deadline:
-        todo = [r for r in missing_rows() if attempts.get(r, 0) < 2]
+        todo = [r for r in missing_rows() if attempts.get(r, 0) < 2
+                and (not only or r in only)]
         if not todo:
             log("all rows recorded or exhausted — done")
             set_state("done")
