@@ -48,13 +48,39 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
+    parser.add_argument("--lane-kernel", action="store_true",
+                        help="locality-reorder + lane plans; aggregation runs "
+                             "as weighted lane passes (edge weights are "
+                             "dataset constants on this path)")
     args = parser.parse_args()
     print(args)
 
     data = load_node_dataset("ogbn-proteins", seed=args.seed, scale=args.scale)
     print_data_stats(data)
 
-    g = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
+    src, dst = data.src, data.dst
+    lane_weights = None
+    if args.lane_kernel:
+        from dgl_tpu.data.loaders import data_root
+        from dgl_tpu.graph.reorder import apply_order, locality_order
+        from dgl_tpu.kernels import attach_lane_plans
+        from dgl_tpu.ops.rel_lane import RelLaneWeights
+
+        ck = f"proteins_s{args.scale}_rgcn"
+        order = locality_order(src, dst, data.num_nodes, seed=0,
+                               cache_dir=data_root(), cache_key=ck)
+        src, dst, _ = apply_order(order, src, dst)
+        g = attach_lane_plans(
+            dgl_tpu.from_edges(src, dst, data.num_nodes),
+            cache_dir=data_root(), cache_key=ck,
+        )
+        if g.lane is not None:
+            ew = np.asarray(g.permute_edata(jnp.asarray(data.edge_feat)))
+            lane_weights = RelLaneWeights.build(g, ew)
+        else:
+            g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    else:
+        g = dgl_tpu.from_edges(src, dst, data.num_nodes)
     node_feats = jnp.ones((data.num_nodes, 1), dtype=jnp.float32)
     edge_weights = g.permute_edata(jnp.asarray(data.edge_feat))  # (E_pad, 8)
     y = jnp.asarray(data.labels, dtype=jnp.float32)  # (N, 112) multilabel
@@ -71,11 +97,12 @@ def main():
     tx = optax.adam(args.lr)
 
     @jax.jit
-    def train_step(params, opt_state, key, g, node_feats, edge_weights, y, masks):
+    def train_step(params, opt_state, key, g, node_feats, edge_weights, y, masks, lw):
         def loss_fn(p):
             out = model.apply(
                 {"params": p}, g, node_feats, edge_weights,
                 deterministic=False, rngs={"dropout": key},
+                lane_weights=lw,
             )
             return masked_bce(out, y, masks["train"])
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -83,26 +110,31 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def forward(params, g, node_feats, edge_weights):
-        return model.apply({"params": params}, g, node_feats, edge_weights)
+    def forward(params, g, node_feats, edge_weights, lw):
+        return model.apply({"params": params}, g, node_feats, edge_weights,
+                           lane_weights=lw)
 
     logger = Logger(args.runs, scale=100.0)
     dur = []
     for run in range(args.runs):
         key = jax.random.PRNGKey(args.seed * 1000 + run)
-        params = jax.jit(model.init)(key, g, node_feats, edge_weights)["params"]
+        params = jax.jit(model.init, static_argnames=())(
+            key, g, node_feats, edge_weights, lane_weights=lane_weights
+        )["params"]
         opt_state = tx.init(params)
         for epoch in range(args.epochs):
             key, sub = jax.random.split(key)
             if epoch >= 3:
                 t0 = time.time()
-            params, opt_state, loss = train_step(params, opt_state, sub, g, node_feats, edge_weights, y, masks)
+            params, opt_state, loss = train_step(
+                params, opt_state, sub, g, node_feats, edge_weights, y,
+                masks, lane_weights)
             loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))
             if args.eval and (epoch + 1) % args.eval_steps == 0:
-                scores = np.asarray(forward(params, g, node_feats, edge_weights))
+                scores = np.asarray(forward(params, g, node_feats, edge_weights, lane_weights))
                 labels_np = np.asarray(y)
                 aucs = tuple(
                     mean_multilabel_auc(

@@ -42,6 +42,7 @@ __all__ = [
     "from_edges",
     "from_scipy_coo",
     "pad_length",
+    "quantize_trace_meta",
 ]
 
 # Lane width of the TPU VPU; edge arrays are padded to a multiple of this so
@@ -201,7 +202,18 @@ def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.
     e = indptr64[1:].astype(np.int64)
     nb = np.where(e > s, (e - 1) // B - s // B + 1, 0)
     total = int(nb.sum())
+    # half-octave piece-count buckets: the piece arrays are pytree LEAVES,
+    # so their length is a jit cache key — minibatch graphs with the same
+    # (n_pad, e_pad) bucket must produce identical shapes here too, or
+    # every batch recompiles (sentinel pieces gather the appended zero row
+    # and scatter to the dropped segment, so padding is free)
     p_pad = pad_length(max(total, 1))
+    if p_pad > 128:
+        import math
+
+        k = math.ceil(2.0 * math.log2(p_pad / 128.0))
+        p_pad = int(math.ceil(128.0 * 2.0 ** (k / 2.0)))
+        p_pad += (-p_pad) % 128
     seg_id = np.full(p_pad, n, dtype=np.int32)
     idx_end = np.full(p_pad, e_pad, dtype=np.int32)
     idx_sub = np.full(p_pad, e_pad, dtype=np.int32)
@@ -318,6 +330,30 @@ def from_edges(
         num_edges=num_e,
         reverse=rev,
         segblocks=segb,
+    )
+
+
+def quantize_trace_meta(g: Graph) -> Graph:
+    """Make the Graph's STATIC pytree aux independent of the true edge count.
+
+    ``num_edges`` sits in the pytree treedef, so two bucketed minibatches
+    with IDENTICAL array shapes but different real edge counts are
+    different jit cache keys — one XLA compile per batch (measured: the
+    entire graph-classification suite budget went to remote compiles).
+    This replaces ``num_edges`` with ``num_edges_padded`` on the graph and
+    its reverse, collapsing every same-bucket batch onto one program.
+
+    Safe because edge validity inside jit is SENTINEL-based
+    (``edge_mask`` tests ``dst < num_dst_nodes``; scatters drop sentinel
+    dst; ``in_degrees`` reads indptr) — ``num_edges`` only feeds host-side
+    views. Call AFTER any ``permute_edata``/``edges_numpy`` use; minibatch
+    loaders do this as their last collation step.
+    """
+    rev = g.reverse
+    if rev is not None and rev.num_edges != rev.num_edges_padded:
+        rev = dataclasses.replace(rev, num_edges=rev.num_edges_padded)
+    return dataclasses.replace(
+        g, num_edges=g.num_edges_padded, reverse=rev,
     )
 
 

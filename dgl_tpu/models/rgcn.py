@@ -25,6 +25,9 @@ class RGCN(nn.Module):
         edge_weights: jnp.ndarray,  # (E_pad, R) canonical order
         *,
         deterministic: bool = True,
+        lane_weights=None,  # ops.rel_lane.RelLaneWeights — enables the
+        # weighted-lane-pass aggregation (driver builds it once; edge
+        # weights are treated as constants on that path)
     ):
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
@@ -35,5 +38,6 @@ class RGCN(nn.Module):
                 dropout=0.0 if last else self.dropout,
                 fuse_relations=self.fuse_relations,
                 name=f"rgcn_{i}",
-            )(g, x, edge_weights, deterministic=deterministic)
+            )(g, x, edge_weights, deterministic=deterministic,
+              lane_weights=lane_weights)
         return x

@@ -335,6 +335,7 @@ class RelGraphConv(nn.Module):
         edge_weights: jnp.ndarray,  # (E_pad, R) canonical order
         *,
         deterministic: bool = True,
+        lane_weights=None,  # RelLaneWeights → weighted lane-pass path
     ):
         in_feats = x.shape[-1]
         W = self.param(
@@ -342,7 +343,14 @@ class RelGraphConv(nn.Module):
             kaiming_uniform_fan_in(),
             (self.num_relations, in_feats, self.out_feats),
         )
-        if self.fuse_relations:
+        if lane_weights is not None and not self.fuse_relations:
+            from ..ops.rel_lane import rel_lane_agg
+            from ..ops.spmm import _lane_interpret
+
+            y = jnp.einsum("nd,rdo->nro", x, W)
+            out = rel_lane_agg("mean", self.num_relations, _lane_interpret(),
+                               g, y, lane_weights)
+        elif self.fuse_relations:
             agg = gspmm(
                 g, "mul", "mean", x=x[:, None, :], e=edge_weights[..., None]
             )  # (N, R, D)

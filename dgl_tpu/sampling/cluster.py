@@ -127,6 +127,13 @@ class ClusterIter:
             # uniform negative dst per positive edge (dgl_cluster_sampler.py:97-109)
             neg_dst = self.rng.integers(0, max(n, 1), size=len(s))
             neg = from_edges(s, neg_dst, n_pad, e_pad=e_pad)
+        from ..graph.graph import quantize_trace_meta
+
+        # erase per-batch edge counts from the static aux — same-bucket
+        # cluster batches must share one compiled step (see graph.py)
+        g = quantize_trace_meta(g)
+        if neg is not None:
+            neg = quantize_trace_meta(neg)
         return ClusterBatch(
             graph=g, nodes=nodes, x=jnp.asarray(x), y=jnp.asarray(y),
             mask=jnp.asarray(m), neg_graph=neg, has_train=bool(m.any()),

@@ -113,6 +113,14 @@ class GraphBatchLoader:
             out_ef = jnp.asarray(ef_pad)
         yb = np.zeros(self.batch_size, dtype=self.labels.dtype)
         yb[: len(idx)] = self.labels[idx]
+        # LAST collation step: erase the per-batch edge count from the
+        # static pytree aux so every same-bucket batch reuses one compiled
+        # program (edge validity in jit is sentinel-based)
+        import dataclasses
+
+        from ..graph.graph import quantize_trace_meta
+
+        batch = dataclasses.replace(batch, graph=quantize_trace_meta(batch.graph))
         return batch, jnp.asarray(nf_pad), out_ef, jnp.asarray(yb)
 
     def _epoch_indices(self):

@@ -336,3 +336,37 @@ def test_two_tier_cache_roundtrip(rng, tmp_path, monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(getattr(pa, f)), np.asarray(getattr(pb, f)), err_msg=f)
         np.testing.assert_array_equal(pa.rem_src, pb.rem_src)
+
+
+def test_rel_lane_agg_matches_gspmm_rel(rng, monkeypatch):
+    """Weighted lane-pass RGCN aggregation (rel_lane_agg) must match
+    gspmm_rel in value and grad-wrt-y; edge weights are constants on this
+    path (their cotangent is zero by contract)."""
+    monkeypatch.setenv("DGL_TPU_LANE_INTERPRET", "1")
+    from dgl_tpu.kernels import attach_lane_plans
+    from dgl_tpu.ops.rel_lane import RelLaneWeights, rel_lane_agg
+    from dgl_tpu.ops.spmm import gspmm_rel
+
+    n, e, R, d = 3000, 20000, 3, 4
+    src = np.concatenate([rng.integers(0, 128, e // 2), rng.integers(0, n, e // 2)])
+    dst = rng.integers(0, n, e)
+    g = attach_lane_plans(dgl_tpu.from_edges(src, dst, n),
+                          dense_threshold=8, max_expansion=1e9,
+                          compute_dtype=jnp.float32)
+    assert g.lane is not None
+    # input-order weights -> canonical order, like the driver does
+    w_in = np.zeros((g.num_edges_padded, R), np.float32)
+    w_in[:e] = rng.standard_normal((e, R))
+    w_canon = np.asarray(g.permute_edata(jnp.asarray(w_in)))
+    lw = RelLaneWeights.build(g, w_canon, dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n, R, d)).astype(np.float32))
+
+    ref = gspmm_rel("mean", 3, g, y, jnp.asarray(w_canon))
+    out = rel_lane_agg("mean", R, True, g, y, lw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    gr = jax.grad(lambda y: jnp.sum(gspmm_rel("mean", 3, g, y, jnp.asarray(w_canon)) ** 2))(y)
+    gl = jax.grad(lambda y: jnp.sum(rel_lane_agg("mean", R, True, g, y, lw) ** 2))(y)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gr),
+                               rtol=1e-3, atol=1e-3)

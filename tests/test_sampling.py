@@ -130,8 +130,11 @@ def test_cluster_iter(rng):
         # features are the original rows
         np.testing.assert_allclose(np.asarray(b.x)[:nv], feats[b.nodes], rtol=1e-6)
         # subgraph edges connect only in-batch nodes, relabelled in range
-        s = np.asarray(b.graph.src)[: b.graph.num_edges]
-        d = np.asarray(b.graph.dst)[: b.graph.num_edges]
+        # (validity is sentinel-based: cluster batches quantize num_edges
+        # to the bucket so same-shape batches share one compiled program)
+        valid = np.asarray(b.graph.dst) < b.graph.num_dst_nodes
+        s = np.asarray(b.graph.src)[valid]
+        d = np.asarray(b.graph.dst)[valid]
         assert s.max(initial=0) < nv and d.max(initial=0) < nv
 
 
