@@ -90,6 +90,7 @@ class GraphBatchLoader:
         eb = int(sizes_e[:batch_size].sum()) if len(graphs) else batch_size
         self.n_pad = n_pad or pad_length(int(nb))
         self.e_pad = e_pad or pad_length(int(eb))
+        self._cache = None  # device-resident epoch cache (see __iter__)
 
     def __len__(self):
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
@@ -134,6 +135,43 @@ class GraphBatchLoader:
         """One batch without spinning up the prefetch thread (for model.init)."""
         return self._collate(np.arange(min(self.batch_size, len(self.graphs))))
 
+    # Device-resident epoch cache. Re-collating per epoch re-uploads each
+    # batch's structure arrays (~2-4MB for ogbg-ppa buckets) through the
+    # device tunnel — ~0.5 s/step, the whole suite-row budget. Since the
+    # collated tuples are jnp (device) arrays, retaining them makes later
+    # epochs pure dispatch. Deviation from the reference's per-epoch
+    # reshuffle: batch COMPOSITION freezes after epoch 1 and only batch
+    # ORDER reshuffles — same batch-level stochasticity, no per-edge
+    # resampling (documented; disable with cache_device_gb=0).
+    def _cache_bytes(self, item) -> int:
+        import jax
+
+        return sum(
+            getattr(l, "nbytes", 0)
+            for l in jax.tree_util.tree_leaves(item)
+        )
+
     def __iter__(self):
-        gen = (self._collate(b) for b in self._epoch_indices())
-        return prefetch(gen, self.prefetch_depth)
+        cache_gb = float(
+            __import__("os").environ.get("DGL_TPU_GC_CACHE_GB", "6"))
+        if getattr(self, "_cache", None) is not None:
+            order = self.rng.permutation(len(self._cache))
+            return iter([self._cache[i] for i in order])
+
+        def gen():
+            budget = cache_gb * (1 << 30)
+            cache = []
+            total = 0
+            for b in self._epoch_indices():
+                item = self._collate(b)
+                if cache is not None:
+                    total += self._cache_bytes(item)
+                    if total <= budget:
+                        cache.append(item)
+                    else:
+                        cache = None  # too big: stay streaming
+                yield item
+            if cache is not None and cache_gb > 0:
+                self._cache = cache
+
+        return prefetch(gen(), self.prefetch_depth)

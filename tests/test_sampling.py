@@ -260,3 +260,29 @@ def test_device_sampler_matches_host_structure(rng):
     mb = dev2.sample(np.zeros(4, np.int64), jax.random.PRNGKey(1), 4)
     draws = np.asarray(mb.input_nodes)[4:]
     assert len(np.unique(draws)) > 25  # ~50 draws x 4 seeds from 100 nbrs
+
+
+def test_graph_batch_loader_device_cache(rng):
+    """After the first epoch the loader replays device-resident batches in
+    a fresh order (same composition) — later epochs must not re-collate."""
+    graphs, feats, labels = [], [], []
+    for _ in range(12):
+        n = int(rng.integers(3, 8))
+        e = int(rng.integers(3, 10))
+        graphs.append((rng.integers(0, n, e), rng.integers(0, n, e), n))
+        feats.append(rng.standard_normal((n, 4)).astype(np.float32))
+        labels.append(int(rng.integers(0, 2)))
+    from dgl_tpu.sampling.dataloader import GraphBatchLoader
+
+    ldr = GraphBatchLoader(graphs, feats, np.asarray(labels), 4, shuffle=True, seed=1)
+    ep1 = list(ldr)
+    assert ldr._cache is not None and len(ldr._cache) == len(ep1)
+    ep2 = list(ldr)
+    assert len(ep2) == len(ep1)
+    # same OBJECTS, reordered — no re-collation
+    ids1 = {id(b[1]) for b in ep1}
+    assert all(id(b[1]) in ids1 for b in ep2)
+    # labels multiset preserved
+    l1 = np.sort(np.concatenate([np.asarray(b[3]) for b in ep1]))
+    l2 = np.sort(np.concatenate([np.asarray(b[3]) for b in ep2]))
+    np.testing.assert_array_equal(l1, l2)
