@@ -135,13 +135,13 @@ BASELINE_EPOCH_S = {
 TIME_RE = re.compile(
     r"(?:Training time/(?:epoch|iter)|Avg epoch time:) ([0-9.eE+-]+)"
 )
-FINAL_TEST_RE = re.compile(r"\s*Final Test: ([0-9.]+)")
+FINAL_TEST_RE = re.compile(r"\s*Final Test: ([0-9.]+)|Test RMSE: ([0-9.]+)")
 FINAL_TRAIN_RE = re.compile(r"\s*Final Train: ([0-9.]+)")
 
 
 def parse_output(text: str):
     times = [float(m) for m in TIME_RE.findall(text)]
-    tests = [float(m) for m in FINAL_TEST_RE.findall(text)]
+    tests = [float(a or b) for a, b in FINAL_TEST_RE.findall(text)]
     trains = [float(m) for m in FINAL_TRAIN_RE.findall(text)]
     t = sum(times[-10:]) / len(times[-10:]) if times else None
     return {
