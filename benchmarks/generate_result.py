@@ -165,7 +165,8 @@ def run_one(script: str, extra, timeout: int, with_eval: bool = True):
         res = parse_output(out)
         res["status"] = "ok" if proc.returncode == 0 else f"exit {proc.returncode}"
         if proc.returncode != 0:
-            res["stderr_tail"] = "\n".join(proc.stderr.splitlines()[-5:])
+            lines = [ln for ln in proc.stderr.splitlines() if ln.strip()]
+            res["stderr_tail"] = "\n".join(lines[-30:])
         return res
     except subprocess.TimeoutExpired as exc:
         # salvage what the driver printed before the deadline: epoch timings
