@@ -149,6 +149,28 @@ class GATConv(nn.Module):
             out = lane_out
             return self._epilogue(g, out, x_dst, H, D)
 
+        import os
+
+        budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "4")) * (1 << 30)
+        itemsize = jnp.dtype(self.edge_dtype or jnp.float32).itemsize
+        if g.num_edges_padded * H * D * itemsize > budget / 4:
+            # memory-safe variant for huge graphs (e.g. full-graph eval on
+            # ogbn-products: a (61.9M, H·D) z_e gather is 63GB — the cluster
+            # suite rows OOM'd exactly there). Attention logits come from
+            # NODE-side dots gathered per edge ((E,H) only), and the
+            # weighted aggregation runs through gspmm's fused binary path,
+            # which edge-chunks itself past the message budget. Trades one
+            # extra E-row gather for an E·H·D-free live set.
+            er = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
+            el = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
+            logits = gather_src_rows(g, er) + gather_dst(g, el)
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            alpha = edge_softmax(g, logits)
+            if self.attn_drop > 0.0:
+                alpha = nn.Dropout(self.attn_drop, deterministic=deterministic)(alpha)
+            out = gspmm(g, "mul", "sum", x=z_src, e=alpha[..., None])
+            return self._epilogue(g, out, x_dst, H, D)
+
         # Single shared src gather for the whole layer (row gathers are
         # per-row-bound on TPU, so the attention half er[src] is computed
         # from the SAME gathered rows used for aggregation — one row-op

@@ -353,3 +353,29 @@ def test_gat_conv_lane_path_matches_xla_path(rng, monkeypatch):
     flat_b = jax.tree_util.tree_leaves(g_lane_grads)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
+def test_gatconv_memory_safe_path_matches(rng, monkeypatch):
+    """The huge-graph attention variant (node-side logit dots + fused
+    binary aggregation, auto-edge-chunked) must match the shared-gather
+    path in value and grads."""
+    import dgl_tpu
+    from dgl_tpu.nn import GATConv
+
+    n, e = 60, 400
+    src, dst = rng.integers(0, n, e), rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    conv = GATConv(out_feats=8, num_heads=2)
+    params = conv.init(jax.random.PRNGKey(0), g, x)
+
+    ref = conv.apply(params, g, x)
+    ref_grad = jax.grad(lambda x: jnp.sum(conv.apply(params, g, x) ** 2))(x)
+
+    monkeypatch.setenv("DGL_TPU_MSG_BUDGET_GB", "1e-7")  # force the variant
+    out = conv.apply(params, g, x)
+    grad = jax.grad(lambda x: jnp.sum(conv.apply(params, g, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                               rtol=1e-3, atol=1e-4)
