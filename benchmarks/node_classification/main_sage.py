@@ -10,6 +10,7 @@ Stdout format (``Training time/epoch``, Logger stats) is harness-parsed.
 """
 
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -208,6 +209,13 @@ def main():
     src, dst = data.src, data.dst
     if cfg["bidirect"]:
         src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    if len(src) > 80_000_000:
+        # ogbn-products scale: several feature-chunked SpMM passes coexist
+        # in one step program and XLA double-buffers their chunk loops — the
+        # default 4GB per-op message budget overcommits the 16GB chip
+        # (measured: runtime HBM OOM in the products train step). 1GB keeps
+        # the live set bounded at ~an eighth of HBM.
+        os.environ.setdefault("DGL_TPU_MSG_BUDGET_GB", "1")
     features, labels = data.features, data.labels
     mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
     if args.lane_kernel:

@@ -301,6 +301,25 @@ def attach_lane_plans(
     too-sparse plan is still (cheaply) rejected.
     """
     src_np, dst_np = g.edges_numpy()
+    # absolute-cost profitability gate (auto-tuned mode only): max_expansion
+    # alone admits low-locality graphs where the lane path merely isn't
+    # catastrophic but still LOSES to the XLA row path (measured: arxiv GAT
+    # 1.84 s/epoch with lane vs sub-second XLA). Skip attachment when the
+    # best modeled lane cost isn't at least 2x cheaper than all-rows — the
+    # factor credits the fused attention path, which replaces ~2-3 row
+    # passes per lane pass. Counting-only (O(#pairs)); runs before the
+    # cache so a stale profitable-looking cache can't resurrect a loser.
+    if dense_threshold is None and window is None:
+        _, _, stats = choose_plan_config(src_np, dst_np)
+        all_row_ns = max(len(src_np), 1) * _REM_NS
+        if stats["cost_ns"] > all_row_ns / 2.0:
+            print(
+                f"[dgl_tpu.kernels] lane plan skipped: modeled "
+                f"{stats['cost_ns'] / 1e6:.1f}ms vs all-row "
+                f"{all_row_ns / 1e6:.1f}ms (need 2x win)",
+                file=sys.stderr,
+            )
+            return g
     path = None
     if cache_dir and cache_key:
         path = _plan_cache_path(cache_dir, cache_key, src_np, dst_np,
