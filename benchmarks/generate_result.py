@@ -99,7 +99,11 @@ WORKLOADS = [
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],
-      "full": ["--dataset", "ogbg-ppa", "--epochs", "5", "--runs", "1"]}),
+      "full": ["--dataset", "ogbg-ppa", "--epochs", "5", "--runs", "1",
+               "--num-graphs", "20000"]},
+     {"note": "graphs capped 158k->20k (358M total edges stream "
+              "~7MB/step through the device tunnel; no published "
+              "baseline epoch time for ppa)"}),
     ("gcmc_ml100k", "link_prediction/gcmc.py",
      {"smoke": ["--train_max_iter", "30"],
       "full": ["--train_max_iter", "500"]},

@@ -60,6 +60,11 @@ def main():
         args.num_layers = 5 if is_mol else 4
     if args.hidden_size is None:
         args.hidden_size = 256 if is_mol else 128
+    if args.dataset == "ogbg-ppa" and args.eval_batch_size == 2048:
+        # ppa graphs average ~243 nodes: a 2048-graph padded eval batch plus
+        # the device-resident train cache exhausts HBM (RESOURCE_EXHAUSTED
+        # mid-eval). 512 keeps the eval spike ~1GB.
+        args.eval_batch_size = 512
     print(args)
 
     data = synthetic_graph_classification(args.dataset, num_graphs=args.num_graphs)

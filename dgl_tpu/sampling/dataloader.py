@@ -153,7 +153,7 @@ class GraphBatchLoader:
 
     def __iter__(self):
         cache_gb = float(
-            __import__("os").environ.get("DGL_TPU_GC_CACHE_GB", "6"))
+            __import__("os").environ.get("DGL_TPU_GC_CACHE_GB", "4"))
         if getattr(self, "_cache", None) is not None:
             order = self.rng.permutation(len(self._cache))
             return iter([self._cache[i] for i in order])

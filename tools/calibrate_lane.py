@@ -51,7 +51,7 @@ def main():
     results = {}
     for d in (16, 128):
         x = jnp.asarray(rng.standard_normal((n_src, d)).astype(np.float32))
-        for window in (128, 256, 512, 1024):
+        for window in (128, 256, 512, 1024, 2048, 4096, 8192):
             plan = build_plan(src, dst, n_src, n_dst, dense_threshold=1,
                               window=window)
             slots = plan.num_chunks * 256 * 128
