@@ -36,6 +36,18 @@ def _pair(x: Features) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return x, x
 
 
+def _attn_bound(a_src, a_dst, negative_slope: float):
+    """Per-dst upper bound on GAT edge logits
+    ``leaky_relu(a_src[src] + a_dst[dst])``: leaky_relu is monotone, so
+    ``leaky_relu(max_n a_src[n] + a_dst)`` dominates every incoming edge.
+    Same shift the fused lane kernel uses
+    (``kernels/lane_attention.py:_upper_bound``); lets edge_softmax skip
+    the exact segment-max scatter."""
+    max_a = jax.lax.stop_gradient(jnp.max(a_src, axis=0))
+    raw = a_dst + max_a[None, :]
+    return jnp.where(raw > 0, raw, negative_slope * raw)
+
+
 class SAGEConv(nn.Module):
     """GraphSAGE convolution: ``fc_self(x_dst) + fc_neigh(agg(x_src))``.
 
@@ -165,7 +177,8 @@ class GATConv(nn.Module):
             el = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
             logits = gather_src_rows(g, er) + gather_dst(g, el)
             logits = nn.leaky_relu(logits, self.negative_slope)
-            alpha = edge_softmax(g, logits)
+            alpha = edge_softmax(g, logits, dst_bound=_attn_bound(
+                er, el, self.negative_slope))
             if self.attn_drop > 0.0:
                 alpha = nn.Dropout(self.attn_drop, deterministic=deterministic)(alpha)
             out = gspmm(g, "mul", "sum", x=z_src, e=alpha[..., None])
@@ -184,7 +197,11 @@ class GATConv(nn.Module):
         el = jnp.sum(z_dst * att_l, axis=-1)  # (N_dst, H)
         logits = er_e + gather_dst(g, el)
         logits = nn.leaky_relu(logits, self.negative_slope)
-        alpha = edge_softmax(g, logits)
+        # per-dst logit upper bound (O(N)) lets edge_softmax skip the
+        # per-row-serial segment-max scatter (ops/softmax.py)
+        er_n = jnp.sum(z_src * att_r, axis=-1)  # (N_src, H)
+        alpha = edge_softmax(g, logits, dst_bound=_attn_bound(
+            er_n, el, self.negative_slope))
         if self.attn_drop > 0.0:
             alpha = nn.Dropout(self.attn_drop, deterministic=deterministic)(alpha)
         if self.edge_dtype is not None:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..graph.graph import Graph
 from .segment import use_scan_reductions
 
-__all__ = ["gather_dst", "gather_src", "gather_src_rows"]
+__all__ = ["gather_dst", "gather_src", "gather_src_rows", "spread_dst",
+           "seg_sum_dst"]
 
 
 def gather_src(g: Graph, x):
@@ -88,3 +89,65 @@ def gather_dst(g: Graph, v):
     # the final edge slot
     z = z.at[g.indptr[:-1]].add(diffs, indices_are_sorted=True, mode="drop")
     return jnp.cumsum(z, axis=0, dtype=v.dtype)
+
+
+# -- Differentiable dst-side spread / reduce duals --------------------------
+#
+# ``spread_dst``/``seg_sum_dst`` are exact adjoints of each other:
+# d/dv Σ_e f(v[dst[e]]) routes each edge cotangent back to its dst node
+# (a sorted segment sum), and vice versa. Registering them as a custom-VJP
+# pair keeps BOTH directions on the scan formulations — plain AD of the
+# scan-based gather_dst emits cumsum+scatter adjoint chains, and AD of a
+# scatter-based segment_sum emits a per-row E-gather; on the v5e either
+# adjoint is 10-50× slower than its dual (measured on arxiv GAT: softmax
+# fwd+grad 0.24 s scatter-based vs ~0.01 s with the dual pair).
+
+
+@jax.custom_vjp
+def spread_dst(g: Graph, v):
+    """Differentiable ``v[dst[e]]`` whose backward is one sorted
+    segment-sum (the mathematical adjoint), not AD of the scan gather."""
+    return gather_dst(g, v)
+
+
+def _spread_fwd(g, v):
+    return gather_dst(g, v), (g,)
+
+
+def _spread_bwd(res, ge):
+    (g,) = res
+    from .spmm import _seg_sum_by_dst
+
+    grad_v = _seg_sum_by_dst(g, ge)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_v.astype(ge.dtype)
+
+
+spread_dst.defvjp(_spread_fwd, _spread_bwd)
+
+
+@jax.custom_vjp
+def seg_sum_dst(g: Graph, msg):
+    """Differentiable sorted segment-sum over dst whose backward is one
+    scan-based dst spread (the adjoint), not AD of the blocked reduction."""
+    from .spmm import _seg_sum_by_dst
+
+    return _seg_sum_by_dst(g, msg)
+
+
+def _ssd_fwd(g, msg):
+    return seg_sum_dst(g, msg), (g,)
+
+
+def _ssd_bwd(res, gout):
+    (g,) = res
+    grad_msg = gather_dst(g, gout)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_msg.astype(gout.dtype)
+
+
+seg_sum_dst.defvjp(_ssd_fwd, _ssd_bwd)

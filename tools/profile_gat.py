@@ -72,10 +72,14 @@ def main():
     )
     n = data.num_nodes
     h, dh = args.heads, args.dh
-    fp = g.lane.plan
-    rp = g.reverse.lane.plan
-    print(f"plans: fwd exp={fp.expansion:.2f} rem={len(fp.rem_src)/max(fp.num_edges_total,1):.2%} "
-          f"rev exp={rp.expansion:.2f} rem={len(rp.rem_src)/max(rp.num_edges_total,1):.2%}")
+    has_lane = g.lane is not None and g.reverse.lane is not None
+    if has_lane:
+        fp = g.lane.plan
+        rp = g.reverse.lane.plan
+        print(f"plans: fwd exp={fp.expansion:.2f} rem={len(fp.rem_src)/max(fp.num_edges_total,1):.2%} "
+              f"rev exp={rp.expansion:.2f} rem={len(rp.rem_src)/max(rp.num_edges_total,1):.2%}")
+    else:
+        print("plans: none attached (profitability gate) — XLA path only")
 
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.standard_normal((n, h, dh)).astype(np.float32))
@@ -107,11 +111,17 @@ def main():
         l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(v + c, a_s, a_d)
         return l * 1e-30 + sum(jnp.sum(x) for x in gr) * 1e-30 + c
 
+    from dgl_tpu.nn.conv import _attn_bound
+    from dgl_tpu.ops.gather import gather_src_rows as _gsr
+
     def xla_fwd(c, gg, v, a_s, a_d):
+        # mirrors GATConv's XLA fallback: shared src row-gather, bound-shift
+        # softmax (no segment-max scatter), fused copy_e aggregation
         el = gsddmm(gg, "add", (a_s + c)[:, :, None], a_d[:, :, None])
         z = jax.nn.leaky_relu(el, 0.2)
-        alpha = edge_softmax(gg, z)
-        msg = (v + c)[gg.src] * alpha
+        alpha = edge_softmax(gg, z, dst_bound=_attn_bound(a_s + c, a_d, 0.2))
+        hh, dd = v.shape[1], v.shape[2]
+        msg = _gsr(gg, (v + c).reshape(n, hh * dd)).reshape(-1, hh, dd) * alpha[:, :hh, :]
         out = gspmm(gg, "copy_e", "sum", e=msg)
         return jnp.sum(out) * 1e-30 + c
 
@@ -119,17 +129,64 @@ def main():
         def loss(v, a_s, a_d):
             el = gsddmm(gg, "add", a_s[:, :, None], a_d[:, :, None])
             z = jax.nn.leaky_relu(el, 0.2)
-            alpha = edge_softmax(gg, z)
-            msg = v[gg.src] * alpha
+            alpha = edge_softmax(gg, z, dst_bound=_attn_bound(a_s, a_d, 0.2))
+            hh, dd = v.shape[1], v.shape[2]
+            msg = _gsr(gg, v.reshape(n, hh * dd)).reshape(-1, hh, dd) * alpha[:, :hh, :]
             out = gspmm(gg, "copy_e", "sum", e=msg)
             return jnp.sum(out * out)
         l, gr = jax.value_and_grad(loss, argnums=(0, 1, 2))(v + c, a_s, a_d)
         return l * 1e-30 + sum(jnp.sum(x) for x in gr) * 1e-30 + c
 
-    print("lane fwd        :", round(timed(lane_fwd, g, v, a_s, a_d), 4), "s", flush=True)
-    print("lane fwd+grad   :", round(timed(lane_grad, g, v, a_s, a_d), 4), "s", flush=True)
+    if has_lane:
+        print("lane fwd        :", round(timed(lane_fwd, g, v, a_s, a_d), 4), "s", flush=True)
+        print("lane fwd+grad   :", round(timed(lane_grad, g, v, a_s, a_d), 4), "s", flush=True)
     print("xla  fwd        :", round(timed(xla_fwd, g, v, a_s, a_d), 4), "s", flush=True)
     print("xla  fwd+grad   :", round(timed(xla_grad, g, v, a_s, a_d), 4), "s", flush=True)
+
+    # ---- per-op decomposition of the XLA path (fwd + grad separately) ----
+    from dgl_tpu.ops.gather import gather_src_rows
+
+    def op_gather(c, gg, v, a_s, a_d):
+        z = gather_src_rows(gg, (v + c).reshape(n, h * dh))
+        return jnp.sum(z) * 1e-30 + c
+
+    def op_gather_grad(c, gg, v, a_s, a_d):
+        def loss(v):
+            z = gather_src_rows(gg, v.reshape(n, h * dh))
+            return jnp.sum(z * z)
+        l, gr = jax.value_and_grad(loss)(v + c)
+        return l * 1e-30 + jnp.sum(gr) * 1e-30 + c
+
+    def op_logits(c, gg, v, a_s, a_d):
+        el = gsddmm(gg, "add", (a_s + c)[:, :, None], a_d[:, :, None])
+        return jnp.sum(el) * 1e-30 + c
+
+    def op_softmax(c, gg, v, a_s, a_d):
+        el = gsddmm(gg, "add", (a_s + c)[:, :, None], a_d[:, :, None])
+        alpha = edge_softmax(gg, jax.nn.leaky_relu(el, 0.2),
+                             dst_bound=_attn_bound(a_s + c, a_d, 0.2))
+        return jnp.sum(alpha) * 1e-30 + c
+
+    def op_softmax_grad(c, gg, v, a_s, a_d):
+        def loss(a_s, a_d):
+            el = gsddmm(gg, "add", a_s[:, :, None], a_d[:, :, None])
+            alpha = edge_softmax(gg, jax.nn.leaky_relu(el, 0.2),
+                                 dst_bound=_attn_bound(a_s, a_d, 0.2))
+            return jnp.sum(alpha * alpha)
+        l, gr = jax.value_and_grad(loss, argnums=(0, 1))(a_s + c, a_d)
+        return l * 1e-30 + sum(jnp.sum(x) for x in gr) * 1e-30 + c
+
+    def op_spmm_e(c, gg, v, a_s, a_d):
+        msg = jnp.broadcast_to((v + c)[gg.src], (gg.num_edges_padded, h, dh))
+        out = gspmm(gg, "copy_e", "sum", e=msg)
+        return jnp.sum(out) * 1e-30 + c
+
+    print("  op gather(E,HD) fwd :", round(timed(op_gather, g, v, a_s, a_d), 4), "s", flush=True)
+    print("  op gather       grad:", round(timed(op_gather_grad, g, v, a_s, a_d), 4), "s", flush=True)
+    print("  op logits   (E,H)   :", round(timed(op_logits, g, v, a_s, a_d), 4), "s", flush=True)
+    print("  op softmax  (E,H)   :", round(timed(op_softmax, g, v, a_s, a_d), 4), "s", flush=True)
+    print("  op softmax      grad:", round(timed(op_softmax_grad, g, v, a_s, a_d), 4), "s", flush=True)
+    print("  op spmm copy_e fwd  :", round(timed(op_spmm_e, g, v, a_s, a_d), 4), "s", flush=True)
 
     c_out = data.num_classes
     v2 = jnp.asarray(rng.standard_normal((n, 1, c_out)).astype(np.float32))
