@@ -9,6 +9,30 @@ sampling + partitioning pipelines, and mesh-sharded multi-chip execution.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("DGL_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    # Persistent XLA compilation cache. Compiles ride a remote tunnel on the
+    # shared-TPU pool (a 25-epoch scan step measured 5+ minutes to compile,
+    # ~40× its device runtime); the on-disk cache makes every driver rerun,
+    # eval/timing double-pass and harness retry compile-free (measured:
+    # 0.89 s → 0.05 s for a cached program). DGL_TPU_COMPILE_CACHE overrides
+    # the location; DGL_TPU_NO_COMPILE_CACHE=1 disables.
+    import jax as _jax
+
+    _d = _os.environ.get(
+        "DGL_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/dgl_tpu/xla_cache")
+    )
+    try:
+        _os.makedirs(_d, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _d)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .graph import (
     Graph,
     GraphBatch,

@@ -106,21 +106,28 @@ class Graph:
     # block-local prefix array. Gives scatter-grade accuracy at near-scan
     # speed (see ops/segment.py:segment_sum_blocked). Built by from_edges.
     segblocks: Optional[Tuple] = None
+    # MXU piece-reduce metadata (loc, piece_pos, piece_dst): per-edge local
+    # piece slot within its 128-edge block, plus the compaction map from
+    # (block·128 + slot) piece positions to destination nodes. Lets the
+    # sorted segment sum run as one-hot matmuls on the MXU
+    # (kernels/piece_reduce.py) instead of a lane-padded prefix scan.
+    mxublocks: Optional[Tuple] = None
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         leaves = (
             self.src, self.dst, self.indptr, self.eid, self.reverse,
-            self.lane, self.segblocks,
+            self.lane, self.segblocks, self.mxublocks,
         )
         aux = (self.num_src_nodes, self.num_dst_nodes, self.num_edges, self.block_fanout)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, indptr, eid, reverse, lane, segblocks = leaves
+        src, dst, indptr, eid, reverse, lane, segblocks, mxublocks = leaves
         n_src, n_dst, n_e, bf = aux
-        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf, lane, segblocks)
+        return cls(src, dst, indptr, eid, n_src, n_dst, n_e, reverse, bf, lane,
+                   segblocks, mxublocks)
 
     # -- basic properties --------------------------------------------------
     @property
@@ -187,6 +194,54 @@ class Graph:
 SEG_BLOCK = 128  # block length of the blocked segment sum
 
 
+def _piece_pad(total: int) -> int:
+    """Half-octave piece-count buckets: the piece arrays are pytree LEAVES,
+    so their length is a jit cache key — minibatch graphs with the same
+    (n_pad, e_pad) bucket must produce identical shapes here too, or every
+    batch recompiles (sentinel pieces gather the appended zero row and
+    scatter to the dropped segment, so padding is free)."""
+    p_pad = pad_length(max(total, 1))
+    if p_pad > 128:
+        import math
+
+        k = math.ceil(2.0 * math.log2(p_pad / 128.0))
+        p_pad = int(math.ceil(128.0 * 2.0 ** (k / 2.0)))
+        p_pad += (-p_pad) % 128
+    return p_pad
+
+
+def _build_mxu_blocks(
+    dst: np.ndarray, num_dst: int, e_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Metadata for the MXU piece reduce (``kernels/piece_reduce.py``).
+
+    Within each 128-edge block, edges of one destination form a *piece*;
+    ``loc[e]`` is the piece's slot (rank of e's dst among the block's
+    distinct dsts, 0..127). The kernel turns each block into a (slot ×
+    feature) partial-sum tile via a one-hot matmul; ``piece_pos`` lists the
+    occupied ``block·128 + slot`` positions (ascending == dst-ascending) and
+    ``piece_dst`` their destination nodes, so the final combine is a small
+    sorted segment sum over ~N + E/128 pieces instead of E edges.
+    """
+    B = e_pad // SEG_BLOCK
+    blk = dst.reshape(B, SEG_BLOCK)
+    chg = np.ones((B, SEG_BLOCK), dtype=bool)
+    chg[:, 1:] = blk[:, 1:] != blk[:, :-1]
+    loc = (np.cumsum(chg, axis=1) - 1).astype(np.int32)
+    flat = np.arange(B, dtype=np.int64)[:, None] * SEG_BLOCK + loc
+    upos, first = np.unique(flat.ravel(), return_index=True)
+    pdst_v = dst.ravel()[first].astype(np.int32)
+    valid = pdst_v < num_dst  # padding pieces (sentinel dst) never selected
+    upos, pdst_v = upos[valid], pdst_v[valid]
+    total = len(upos)
+    p_pad = _piece_pad(total)
+    pos = np.full(p_pad, B * SEG_BLOCK, dtype=np.int32)  # → appended zero row
+    pdst = np.full(p_pad, num_dst, dtype=np.int32)  # → dropped by the scatter
+    pos[:total] = upos
+    pdst[:total] = pdst_v
+    return loc.reshape(-1), pos, pdst
+
+
 def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Piece arrays for the blocked segment sum: each piece is the part of a
     segment inside one 128-edge block; its sum is a difference of
@@ -202,18 +257,7 @@ def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.
     e = indptr64[1:].astype(np.int64)
     nb = np.where(e > s, (e - 1) // B - s // B + 1, 0)
     total = int(nb.sum())
-    # half-octave piece-count buckets: the piece arrays are pytree LEAVES,
-    # so their length is a jit cache key — minibatch graphs with the same
-    # (n_pad, e_pad) bucket must produce identical shapes here too, or
-    # every batch recompiles (sentinel pieces gather the appended zero row
-    # and scatter to the dropped segment, so padding is free)
-    p_pad = pad_length(max(total, 1))
-    if p_pad > 128:
-        import math
-
-        k = math.ceil(2.0 * math.log2(p_pad / 128.0))
-        p_pad = int(math.ceil(128.0 * 2.0 ** (k / 2.0)))
-        p_pad += (-p_pad) % 128
+    p_pad = _piece_pad(total)
     seg_id = np.full(p_pad, n, dtype=np.int32)
     idx_end = np.full(p_pad, e_pad, dtype=np.int32)
     idx_sub = np.full(p_pad, e_pad, dtype=np.int32)
@@ -297,6 +341,7 @@ def from_edges(
 
     s, d, indptr, e = _build_sorted(src, dst, num_src_nodes, num_dst_nodes, e_pad)
     segb = tuple(jnp.asarray(a) for a in _build_seg_blocks(indptr.astype(np.int64), e_pad))
+    mxub = tuple(jnp.asarray(a) for a in _build_mxu_blocks(d, num_dst_nodes, e_pad))
     rev = None
     if build_reverse:
         # Build the transpose from the *canonical* arrays so that rev.eid maps
@@ -309,6 +354,9 @@ def from_edges(
         rev_segb = tuple(
             jnp.asarray(a) for a in _build_seg_blocks(rindptr.astype(np.int64), e_pad)
         )
+        rev_mxub = tuple(
+            jnp.asarray(a) for a in _build_mxu_blocks(rd, num_src_nodes, e_pad)
+        )
         rev = Graph(
             src=jnp.asarray(rs),
             dst=jnp.asarray(rd),
@@ -319,6 +367,7 @@ def from_edges(
             num_edges=num_e,
             reverse=None,
             segblocks=rev_segb,
+            mxublocks=rev_mxub,
         )
     return Graph(
         src=jnp.asarray(s),
@@ -330,6 +379,7 @@ def from_edges(
         num_edges=num_e,
         reverse=rev,
         segblocks=segb,
+        mxublocks=mxub,
     )
 
 

@@ -76,16 +76,48 @@ def _gather_src(g: Graph, x):
     return jnp.take(x, jnp.minimum(g.src, g.num_src_nodes - 1), axis=0)
 
 
+def _use_mxu_reduce(g: Graph, msg) -> bool:
+    """MXU piece-reduce eligibility. It wins over the blocked scan when the
+    per-edge feature width is large enough that the prefix-scan traffic
+    dominates its fixed piece machinery (take + small sorted scatter, ~3.4ms
+    at arxiv scale) — measured crossover ≈ 8 f32 lanes. bf16 is served
+    natively (f32 MXU accumulation), which the scan could not do at all.
+    ``DGL_TPU_SEGSUM=mxu`` forces it anywhere (tests use the einsum oracle
+    off-TPU); ``cumsum``/``scatter`` exclude it."""
+    if g.mxublocks is None:
+        return False
+    mode = os.environ.get("DGL_TPU_SEGSUM", "auto")
+    if mode == "mxu":
+        return True
+    if mode != "auto" or jax.default_backend() != "tpu":
+        return False
+    width = 1
+    for s in msg.shape[1:]:
+        width *= s
+    if msg.dtype == jnp.bfloat16:
+        width = (width + 1) // 2
+    return g.num_edges_padded >= (1 << 16) and width >= 32
+
+
 def _seg_sum_by_dst(g: Graph, msg, exact: bool = False):
     """Sum messages (canonical order) by destination; (E_pad,...) → (N_dst,...).
-    Scan formulation on TPU (measured 19ms vs 44ms scatter at reddit (E,16));
-    scan reassociation costs ~1e-5 relative error, so exact scatter stays the
+    MXU piece-reduce for wide messages (kernels/piece_reduce.py: one-hot
+    matmuls per 128-edge block — measured 2.6x the blocked scan at arxiv
+    (E,64) and the only formulation that takes bf16 natively); blocked scan
+    otherwise on TPU (measured 19ms vs 44ms scatter at reddit (E,16));
+    reassociation costs ~1e-5 relative error, so exact scatter stays the
     CPU/test default. ``exact=True`` forces the bitwise-faithful sorted
     scatter (one-time precomputes want this regardless of the global mode).
-    bf16 messages take the sorted-scatter path with an
+    bf16 messages without mxublocks take the sorted-scatter path with an
     f32 accumulator (a bf16 prefix scan would lose precision, and the f32
     convert fuses into the scatter without materializing an f32 (E, D)
     buffer — that buffer is what OOMs reddit GAT)."""
+    if not exact and _use_mxu_reduce(g, msg):
+        from ..kernels.piece_reduce import segment_sum_mxu
+
+        return segment_sum_mxu(
+            msg, g.mxublocks, g.num_dst_nodes, _lane_interpret()
+        )
     if msg.dtype == jnp.bfloat16:
         return segment_sum(
             msg.astype(jnp.float32), g.dst, g.num_dst_nodes, sorted=True

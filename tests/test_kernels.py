@@ -370,3 +370,67 @@ def test_rel_lane_agg_matches_gspmm_rel(rng, monkeypatch):
     gl = jax.grad(lambda y: jnp.sum(rel_lane_agg("mean", R, True, g, y, lw) ** 2))(y)
     np.testing.assert_allclose(np.asarray(gl), np.asarray(gr),
                                rtol=1e-3, atol=1e-3)
+
+
+# -- MXU piece reduce (kernels/piece_reduce.py) ------------------------------
+
+
+def test_segment_sum_mxu_matches_scatter(rng):
+    import jax
+    import jax.numpy as jnp
+
+    import dgl_tpu
+    from dgl_tpu.kernels.piece_reduce import segment_sum_mxu
+
+    for n, e, tail in [(50, 400, (3,)), (200, 5000, (2, 5)), (7, 9, (4,)),
+                       (300, 1, (2,))]:
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = dgl_tpu.from_edges(src, dst, n)
+        msg = rng.standard_normal((g.num_edges_padded,) + tail).astype(np.float32)
+        msg[g.num_edges:] = 0.0
+        mj = jnp.asarray(msg)
+        ref = jax.ops.segment_sum(
+            mj.reshape(g.num_edges_padded, -1), jnp.minimum(g.dst, n),
+            num_segments=n + 1,
+        )[:n]
+        for interpret in (False, True):  # einsum oracle + pallas interpret
+            out = segment_sum_mxu(mj, g.mxublocks, n, interpret)
+            np.testing.assert_allclose(
+                np.asarray(out).reshape(n, -1), np.asarray(ref), atol=1e-4,
+                err_msg=f"n={n} e={e} interpret={interpret}",
+            )
+        # custom-VJP adjoint: grad_msg[e] = d/d out[dst[e]]
+        gr = jax.grad(
+            lambda m: jnp.sum(segment_sum_mxu(m, g.mxublocks, n, False) ** 2)
+        )(mj)
+        gd = 2.0 * np.asarray(ref)[
+            np.minimum(np.asarray(g.dst), n - 1)
+        ].reshape(gr.shape)
+        mask = (np.asarray(g.dst) < n).reshape((-1,) + (1,) * len(tail))
+        np.testing.assert_allclose(
+            np.asarray(gr) * mask, gd * mask, atol=1e-4)
+        # bf16 input → f32 accumulator output
+        out_bf = segment_sum_mxu(mj.astype(jnp.bfloat16), g.mxublocks, n, False)
+        assert out_bf.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out_bf).reshape(n, -1), np.asarray(ref),
+            atol=0.2, rtol=0.05)
+
+
+def test_gspmm_mxu_mode_matches_default(rng, monkeypatch):
+    """DGL_TPU_SEGSUM=mxu must reproduce the default path through gspmm."""
+    import jax.numpy as jnp
+
+    import dgl_tpu
+    from dgl_tpu.ops import gspmm
+
+    n, e = 120, 2000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = dgl_tpu.from_edges(src, dst, n)
+    x = jnp.asarray(rng.standard_normal((n, 40)).astype(np.float32))
+    ref = np.asarray(gspmm(g, "copy_u", "sum", x=x))
+    monkeypatch.setenv("DGL_TPU_SEGSUM", "mxu")
+    out = np.asarray(gspmm(g, "copy_u", "sum", x=x))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
