@@ -88,13 +88,35 @@ WORKLOADS = [
       "full": ["--runs", "1", "--epochs", "120"]},
      {"time_args": ["--runs", "1", "--epochs", "100"],
       "note": "epochs capped 300->120, runs 10->1"}),
+    # graph-classification batch-size axis {64,128,256} per dataset, matching
+    # the reference's published sweep (README.md:57-67)
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
       "full": ["--dataset", "ENZYMES"]}),
+    ("enzymes_gcn_b128", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
+                "--batch_size", "128"],
+      "full": ["--dataset", "ENZYMES", "--batch_size", "128", "--runs", "3"]},
+     {"note": "runs capped 10->3"}),
+    ("enzymes_gcn_b256", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
+                "--batch_size", "256"],
+      "full": ["--dataset", "ENZYMES", "--batch_size", "256", "--runs", "3"]},
+     {"note": "runs capped 10->3"}),
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],
       "full": ["--dataset", "ogbg-molhiv", "--runs", "1"]},
+     {"note": "runs capped 3->1"}),
+    ("molhiv_gcn_b128", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
+                "--runs", "1", "--hidden_size", "64", "--batch_size", "128"],
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "128"]},
+     {"note": "runs capped 3->1"}),
+    ("molhiv_gcn_b256", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
+                "--runs", "1", "--hidden_size", "64", "--batch_size", "256"],
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "256"]},
      {"note": "runs capped 3->1"}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
@@ -124,7 +146,7 @@ WORKLOADS = [
       "full": ["--n-epochs", "10", "--model", "gat"]}),
     ("cluster_lp_arxiv", "link_prediction/cluster_gcn_lp.py",
      {"smoke": ["--scale", "0.05", "--n-epochs", "3", "--psize", "50"],
-      "full": ["--n-epochs", "5"]}),
+      "full": ["--n-epochs", "20"]}),
 ]
 
 # published V100 epoch seconds (BASELINE.md) for the comparison column
@@ -133,7 +155,8 @@ BASELINE_EPOCH_S = {
     "arxiv_sage": 0.0943, "products_sage": 0.3436,
     "cora_gat": 0.012, "pubmed_gat": 0.0136, "reddit_gat": 0.5532,
     "arxiv_gat": 0.0798,
-    "enzymes_gcn": 0.092, "molhiv_gcn": 15.089,
+    "enzymes_gcn": 0.092, "enzymes_gcn_b128": 0.052, "enzymes_gcn_b256": 0.039,
+    "molhiv_gcn": 15.089, "molhiv_gcn_b128": 8.666, "molhiv_gcn_b256": 5.166,
 }
 
 TIME_RE = re.compile(
@@ -193,7 +216,7 @@ def main():
     parser.add_argument("--out", type=str, default="/tmp/dgl_tpu_results")
     parser.add_argument("--timeout", type=int, default=1800)
     parser.add_argument("--only", type=str, default=None,
-                        help="comma-separated workload-name substring filter")
+                        help="comma-separated exact workload names")
     parser.add_argument("--retries", type=int, default=1,
                         help="re-run a failed workload up to N times (the shared "
                              "TPU pool has transient failures)")
@@ -203,7 +226,7 @@ def main():
     for entry in WORKLOADS:
         name, script, suites = entry[:3]
         opts = entry[3] if len(entry) > 3 else {}
-        if args.only and not any(s in name for s in args.only.split(",")):
+        if args.only and name not in args.only.split(","):
             continue
         t0 = time.time()
         print(f"== running {name} ...", flush=True)

@@ -90,6 +90,7 @@ def main():
         )
 
     train_loader = loader(tr, args.batch_size, True)
+    train_eval_loader = loader(tr, args.eval_batch_size, False)
     val_loader = loader(va, args.eval_batch_size, False)
     test_loader = loader(te, args.eval_batch_size, False)
 
@@ -176,12 +177,14 @@ def main():
                 print("Training time/epoch {}".format(np.mean(dur)))
             if not args.eval:
                 continue
+            train_acc = evaluate(params, batch_stats, train_eval_loader)
             val_acc = evaluate(params, batch_stats, val_loader)
             test_acc = evaluate(params, batch_stats, test_loader)
-            logger.add_result(run, (0.0, val_acc, test_acc))
+            logger.add_result(run, (train_acc, val_acc, test_acc))
             if epoch % args.log_steps == 0:
                 print(f"Run: {run + 1:02d}, Epoch: {epoch:02d}, Loss: {loss:.4f}, "
-                      f"Valid: {val_acc * 100:.4f}% Test: {test_acc * 100:.4f}%")
+                      f"Train: {train_acc * 100:.4f}% Valid: {val_acc * 100:.4f}% "
+                      f"Test: {test_acc * 100:.4f}%")
         if args.eval:
             logger.print_statistics(run)
     if args.eval:

@@ -22,8 +22,13 @@ if not _os.environ.get("DGL_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
     # the location; DGL_TPU_NO_COMPILE_CACHE=1 disables.
     import jax as _jax
 
+    # one cache dir per JAX_PLATFORMS value: axon processes write host-CPU
+    # artifacts with remote-helper target flags (prefer-no-scatter etc.)
+    # that pure-CPU processes then warn about loading
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "default"
     _d = _os.environ.get(
-        "DGL_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/dgl_tpu/xla_cache")
+        "DGL_TPU_COMPILE_CACHE",
+        _os.path.expanduser(f"~/.cache/dgl_tpu/xla_cache_{_plat}"),
     )
     try:
         _os.makedirs(_d, exist_ok=True)

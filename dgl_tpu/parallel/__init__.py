@@ -13,10 +13,13 @@ from .halo import (
     BoundarySharded,
     shard_fullgraph_boundary,
     halo_spmm_boundary,
+    halo_gat_boundary,
 )
 from .halo_train import (
     halo_sage_init,
     halo_sage_apply,
+    halo_gat_init,
+    halo_gat_apply,
     make_halo_train_step,
     exchange_stats,
 )
@@ -37,6 +40,9 @@ __all__ = [
     "halo_spmm_boundary",
     "halo_sage_init",
     "halo_sage_apply",
+    "halo_gat_boundary",
+    "halo_gat_init",
+    "halo_gat_apply",
     "make_halo_train_step",
     "exchange_stats",
     "stack_minibatches",

@@ -43,6 +43,7 @@ __all__ = [
     "BoundarySharded",
     "shard_fullgraph_boundary",
     "halo_spmm_boundary",
+    "halo_gat_boundary",
 ]
 
 
@@ -303,3 +304,103 @@ def halo_spmm_boundary(
         out_specs=P(axis),
         check_rep=False,
     )(bs.local_src, bs.local_indptr, bs.halo_remap, bs.halo_indptr, bs.send_tab, x)
+
+
+def _spread_by_indptr(v, indptr, e_len: int):
+    """v[owner(e)] for dst-sorted edges, scan-formulated (the gather_dst
+    trick on plain arrays): scatter first-differences at row starts, prefix
+    sum over edges. Values beyond ``indptr[-1]`` are garbage — downstream
+    reductions must be indptr-bounded (segment_sum_sorted_scan is)."""
+    diffs = jnp.concatenate([v[:1], v[1:] - v[:-1]], axis=0)
+    z = jnp.zeros((e_len,) + v.shape[1:], v.dtype)
+    z = z.at[indptr[:-1]].add(diffs, indices_are_sorted=True, mode="drop")
+    return jnp.cumsum(z, axis=0)
+
+
+def halo_gat_boundary(
+    bs: "BoundarySharded",
+    z: jnp.ndarray,      # (n_pad, H, D) row-sharded P(axis): projected feats
+    a_src: jnp.ndarray,  # (n_pad, H) row-sharded: per-node src attention dot
+    a_dst: jnp.ndarray,  # (n_pad, H) row-sharded: per-node dst attention dot
+    mesh: Mesh,
+    axis: str = "graph",
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Sharded multi-head GAT aggregation: softmax over ALL in-edges of each
+    owned dst (local + halo) of ``leaky_relu(a_src[u] + a_dst[v])``, weighted
+    sum of ``z[u]``. Extends :func:`halo_spmm_boundary` beyond copy_u — the
+    boundary exchange ships ``[z | a_src]`` rows, and the edge-softmax shift
+    is the per-dst upper bound ``leaky_relu(pmax(a_src) + a_dst)`` (softmax
+    is shift-invariant; the pmax is one (H,)-scalar collective), so no
+    cross-shard segment-max is ever needed. Numerator/denominator terms
+    reduce locally per edge class and combine per dst; backward transposes
+    through shard_map automatically (all_to_all ↔ all_to_all).
+
+    Reference capability: full-graph GAT at reddit scale, which OOMs the
+    single-GPU PyG baseline (``/root/reference/README.md:43``).
+    """
+    Hrows = bs.rows_per_pair
+    k = bs.num_shards
+    tiny = jnp.finfo(jnp.float32).tiny
+
+    def local(lsrc_s, lptr_s, hmap_s, hptr_s, send_s, z_s, as_s, ad_s):
+        lsrc, lptr = lsrc_s[0], lptr_s[0]
+        hmap, hptr = hmap_s[0], hptr_s[0]
+        send = send_s[0]
+        nh, dh = z_s.shape[1], z_s.shape[2]
+        zf = z_s.reshape(z_s.shape[0], nh * dh)
+        pay = jnp.concatenate([zf, as_s], axis=1)
+        payload = jnp.take(pay, send.reshape(-1), axis=0).reshape(
+            k, Hrows, nh * dh + nh)
+        recv = jax.lax.all_to_all(
+            payload, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(k * Hrows, nh * dh + nh)
+        # per-dst softmax shift: valid upper bound on every edge logit.
+        # stop_gradient BEFORE the pmax — softmax is shift-invariant so the
+        # bound carries no gradient, and pmax has no differentiation rule
+        gmax = jax.lax.pmax(
+            jnp.max(jax.lax.stop_gradient(as_s), axis=0), axis)  # (H,)
+        raw = jax.lax.stop_gradient(ad_s) + gmax[None, :]
+        bound = jnp.where(raw > 0, raw, negative_slope * raw)  # (nps, H)
+
+        from ..ops.segment import segment_sum_sorted_scan
+
+        def edge_terms(ze, ae, ptr, e_len):
+            logit = ae + _spread_by_indptr(ad_s, ptr, e_len)
+            logit = jnp.where(logit > 0, logit, negative_slope * logit)
+            # edges beyond indptr[-1] are padding whose spread values are
+            # garbage; exp of garbage can be inf, and inf × a zero cotangent
+            # is NaN in the backward — zero them out on both sides of exp
+            valid = (
+                jnp.arange(e_len, dtype=jnp.int32) < ptr[-1]
+            )[:, None].astype(logit.dtype)
+            shifted = (logit - _spread_by_indptr(bound, ptr, e_len)) * valid
+            p = jnp.exp(shifted) * valid
+            num = segment_sum_sorted_scan(p[:, :, None] * ze, ptr)
+            den = segment_sum_sorted_scan(p, ptr)
+            return num, den
+
+        # local edges first: no data dependence on the collective, so the
+        # async all_to_all overlaps with this aggregation
+        ze_l = jnp.take(zf, lsrc, axis=0).reshape(-1, nh, dh)
+        ae_l = jnp.take(as_s, lsrc, axis=0)
+        num, den = edge_terms(ze_l, ae_l, lptr, lsrc.shape[0])
+        ze_h = jnp.take(recv[:, : nh * dh], hmap, axis=0).reshape(-1, nh, dh)
+        ae_h = jnp.take(recv[:, nh * dh:], hmap, axis=0)
+        num_h, den_h = edge_terms(ze_h, ae_h, hptr, hmap.shape[0])
+        # where-guarded division: zero-in-degree dsts (incl. padding rows)
+        # have num = den = 0, and the grad of 0/max(0,tiny) is 0/tiny² → NaN
+        # (tiny² underflows f32); divide by 1 there and zero the output
+        den_t = den + den_h
+        has = den_t > tiny
+        safe = jnp.where(has, den_t, 1.0)[:, :, None]
+        return jnp.where(has[:, :, None], (num + num_h) / safe, 0.0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 5 + (P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(bs.local_src, bs.local_indptr, bs.halo_remap, bs.halo_indptr,
+      bs.send_tab, z, a_src, a_dst)

@@ -24,11 +24,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .halo import BoundarySharded, halo_spmm_boundary
+from .halo import BoundarySharded, halo_gat_boundary, halo_spmm_boundary
 
 __all__ = [
     "halo_sage_init",
     "halo_sage_apply",
+    "halo_gat_init",
+    "halo_gat_apply",
     "make_halo_train_step",
     "exchange_stats",
 ]
@@ -68,6 +70,49 @@ def halo_sage_apply(params, bs: BoundarySharded, x, mesh, axis: str = "graph",
         h = h @ layer["w_self"] + agg @ layer["w_neigh"] + layer["bias"]
         if i < len(params) - 1:
             h = jax.nn.relu(h)
+    return h
+
+
+def halo_gat_init(key, in_feats: int, hidden_feats: int, out_feats: int,
+                  heads: Sequence[int] = (4, 4, 4)):
+    """Xavier-initialized parameters for the sharded GAT stack (mirrors
+    ``nn.conv.GATConv``: fused fc + per-head attention vectors)."""
+    dims_in = [in_feats] + [hidden_feats * h for h in heads[:-1]]
+    dims_out = [hidden_feats] * (len(heads) - 1) + [out_feats]
+    params = []
+    for i, h in enumerate(heads):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        fan_in, d = dims_in[i], dims_out[i]
+        s = float(np.sqrt(6.0 / (fan_in + h * d)))
+        sa = float(np.sqrt(6.0 / (d + 1)))
+        params.append({
+            "w": jax.random.uniform(k1, (fan_in, h * d), jnp.float32, -s, s),
+            "attn_l": jax.random.uniform(k2, (1, h, d), jnp.float32, -sa, sa),
+            "attn_r": jax.random.uniform(k3, (1, h, d), jnp.float32, -sa, sa),
+        })
+    return params
+
+
+def halo_gat_apply(params, bs: BoundarySharded, x, mesh, axis: str = "graph",
+                   heads: Sequence[int] = (4, 4, 4),
+                   negative_slope: float = 0.2):
+    """Sharded multi-head GAT forward (reference N5–N7 math): per layer one
+    boundary exchange of ``[z | a_src]`` rows through
+    :func:`halo_gat_boundary`; heads concat on hidden layers, mean on the
+    output layer. Covers the workload the reference's single-GPU PyG OOMs
+    on (reddit GAT, ``README.md:43``)."""
+    h = x
+    for i, layer in enumerate(params):
+        nh = heads[i]
+        z = (h @ layer["w"]).reshape(h.shape[0], nh, -1)
+        a_src = jnp.sum(z * layer["attn_r"], axis=-1)
+        a_dst = jnp.sum(z * layer["attn_l"], axis=-1)
+        agg = halo_gat_boundary(bs, z, a_src, a_dst, mesh, axis=axis,
+                                negative_slope=negative_slope)
+        if i < len(params) - 1:
+            h = jax.nn.elu(agg.reshape(agg.shape[0], -1))
+        else:
+            h = jnp.mean(agg, axis=1)
     return h
 
 

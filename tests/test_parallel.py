@@ -234,3 +234,65 @@ def test_halo_sage_matches_dense_oracle(rng):
     for _ in range(20):
         p, o, l1 = step(p, o, key, bs, x_sh, y, mask)
     assert float(l1) < float(l0)
+
+
+def test_halo_gat_matches_dense_oracle(rng):
+    """Sharded GAT attention (boundary exchange + bound-shift softmax over
+    local+halo edges) must match the single-device edge-softmax math, and
+    gradients must flow through the all_to_all transpose."""
+    from dgl_tpu.parallel import (
+        halo_gat_apply, halo_gat_boundary, halo_gat_init,
+        shard_fullgraph_boundary,
+    )
+
+    n, e, nh, dh = 320, 2500, 3, 5
+    src = np.clip(rng.integers(0, n, e) + rng.integers(-40, 40, e), 0, n - 1)
+    dst = rng.integers(0, n, e)
+
+    z = rng.standard_normal((n, nh, dh)).astype(np.float32)
+    a_s = rng.standard_normal((n, nh)).astype(np.float32)
+    a_d = rng.standard_normal((n, nh)).astype(np.float32)
+
+    # dense oracle: per-dst softmax of leaky_relu(a_s[u] + a_d[v]) over
+    # in-edges, weighted sum of z[u]
+    logits = a_s[src] + a_d[dst]
+    logits = np.where(logits > 0, logits, 0.2 * logits)
+    ref = np.zeros((n, nh, dh), np.float32)
+    for v in range(n):
+        m = dst == v
+        if not m.any():
+            continue
+        lv = logits[m]
+        p = np.exp(lv - lv.max(axis=0, keepdims=True))
+        p = p / p.sum(axis=0, keepdims=True)
+        ref[v] = (p[:, :, None] * z[src[m]]).sum(axis=0)
+
+    mesh = device_mesh((1, 8), ("data", "graph"))
+    bs, n_pad = shard_fullgraph_boundary(src, dst, n, 8)
+    sh = NamedSharding(mesh, P("graph"))
+    bs_sh = jax.device_put(bs, jax.tree_util.tree_map(lambda _: sh, bs))
+
+    def pad(a):
+        out = np.zeros((n_pad,) + a.shape[1:], np.float32)
+        out[:n] = a
+        return jax.device_put(jnp.asarray(out), sh)
+
+    z_sh, as_sh, ad_sh = pad(z), pad(a_s), pad(a_d)
+    out = jax.jit(
+        lambda b, z, s, d: halo_gat_boundary(b, z, s, d, mesh)
+    )(bs_sh, z_sh, as_sh, ad_sh)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+    grad = jax.jit(jax.grad(
+        lambda z: jnp.sum(halo_gat_boundary(bs_sh, z, as_sh, ad_sh, mesh) ** 2)
+    ))(z_sh)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # full sharded GAT stack runs and produces finite sharded logits
+    params = halo_gat_init(jax.random.PRNGKey(0), 10, 6, 4, heads=(2, 2))
+    x_sh = pad(rng.standard_normal((n, 10)).astype(np.float32))
+    logits_sh = jax.jit(
+        lambda p, b, x: halo_gat_apply(p, b, x, mesh, heads=(2, 2))
+    )(params, bs_sh, x_sh)
+    assert logits_sh.shape == (n_pad, 4)
+    assert np.all(np.isfinite(np.asarray(logits_sh)))

@@ -25,18 +25,20 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 RESULTS = os.environ.get(
-    "SUITE_RESULTS", os.path.join(REPO, "docs", "suite_r03", "results.json"))
+    "SUITE_RESULTS", os.path.join(REPO, "docs", "suite_r04", "results.json"))
 STATE = "/tmp/suite_watcher.state"
 LOG = "/tmp/suite_watcher.log"
 
-# non-lane-path rows first (their numbers are final); lane-path rows
-# (reddit/arxiv GAT, products) last — round 3 is landing a tier-2 plan that
-# changes those, so they are re-measured after it lands anyway
+# Round 4: EVERY row re-measured fresh (no carryovers — VERDICT r3).
+# Never-measured rows first (products/ppa/cluster), then the previously
+# below-baseline rows (whose kernels changed this round), then re-measures.
 ROW_ORDER = [
-    "cora_gat", "pubmed_gat", "enzymes_gcn", "molhiv_gcn", "ppa_gcn",
+    "products_sage", "ppa_gcn", "cluster_sage_products", "cluster_gat_products",
+    "arxiv_gat", "arxiv_sage", "pubmed_gat", "reddit_gat",
+    "cluster_lp_arxiv", "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
+    "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256",
+    "cora_sage", "pubmed_sage", "cora_gat", "reddit_sage",
     "proteins_rgcn", "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
-    "cluster_sage_products", "cluster_gat_products", "cluster_lp_arxiv",
-    "reddit_gat", "arxiv_gat", "products_sage",
 ]
 
 # Health = steady-state DISPATCH latency of one cached jit (the thing a
