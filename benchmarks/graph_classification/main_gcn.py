@@ -31,7 +31,7 @@ from common import (  # noqa: E402
     Logger,
 )
 
-from dgl_tpu.data import synthetic_graph_classification  # noqa: E402
+from dgl_tpu.data import load_graph_dataset  # noqa: E402
 from dgl_tpu.models import GCNGraphClassifier, GCNMolClassifier  # noqa: E402
 from dgl_tpu.sampling.dataloader import GraphBatchLoader  # noqa: E402
 
@@ -67,13 +67,20 @@ def main():
         args.eval_batch_size = 512
     print(args)
 
-    data = synthetic_graph_classification(args.dataset, num_graphs=args.num_graphs)
+    data = load_graph_dataset(args.dataset, num_graphs=args.num_graphs)
+    if data.synthetic:
+        print("  (synthetic fallback data — structural stats matched to the real dataset)")
     n = len(data.graphs)
-    indices = np.arange(n)
-    np.random.seed(42)
-    np.random.shuffle(indices)
-    tr, va = indices[: int(n * 0.8)], indices[int(n * 0.8): int(n * 0.9)]
-    te = indices[int(n * 0.9):]
+    if data.splits is not None:
+        # real OGB scaffold/species split shipped with the dataset
+        tr, va, te = data.splits["train"], data.splits["valid"], data.splits["test"]
+    else:
+        # reference split: random 80/10/10, seed 42 (main_dgl_enzymes_gcn.py:155-163)
+        indices = np.arange(n)
+        np.random.seed(42)
+        np.random.shuffle(indices)
+        tr, va = indices[: int(n * 0.8)], indices[int(n * 0.8): int(n * 0.9)]
+        te = indices[int(n * 0.9):]
 
     def subset(idx):
         return (

@@ -6,7 +6,7 @@ from .synthetic import (
     synthetic_node_classification,
     synthetic_graph_classification,
 )
-from .loaders import load_node_dataset, data_root
+from .loaders import load_node_dataset, load_graph_dataset, data_root
 
 __all__ = [
     "NODE_DATASET_STATS",
@@ -16,5 +16,6 @@ __all__ = [
     "synthetic_node_classification",
     "synthetic_graph_classification",
     "load_node_dataset",
+    "load_graph_dataset",
     "data_root",
 ]

@@ -27,11 +27,13 @@ import numpy as np
 
 from .synthetic import (
     NODE_DATASET_STATS,
+    GraphClassificationData,
     NodeClassificationData,
+    synthetic_graph_classification,
     synthetic_node_classification,
 )
 
-__all__ = ["data_root", "load_node_dataset"]
+__all__ = ["data_root", "load_node_dataset", "load_graph_dataset"]
 
 
 def data_root() -> str:
@@ -180,3 +182,171 @@ def load_node_dataset(
         name, seed=seed, cache_dir=root, scale=scale,
         structure_required=bool(os.environ.get("DGL_TPU_SYNTH_STRUCTURAL")),
     )
+
+
+# -- graph classification -----------------------------------------------------
+#
+# Canonical interchange: ``<root>/<name>_graphs.npz`` with concatenated
+# per-graph arrays (produced by ``tools/convert_dataset.py``):
+#   src, dst            (sum_E,) int — graph-LOCAL node ids
+#   edge_offsets        (G+1,) int — edges of graph i at [off[i], off[i+1])
+#   num_nodes           (G,) int
+#   node_feat           (sum_N, F) float32/int32;  node_offsets (G+1,)
+#   edge_feat           optional (sum_E, Fe)
+#   labels              (G,) int64
+#   split_train/valid/test  optional graph-index arrays (OGB scaffold/species)
+
+
+def _load_canonical_graphs_npz(path: str, name: str) -> GraphClassificationData:
+    z = np.load(path)
+    eo, no = z["edge_offsets"], z["node_offsets"]
+    nn = z["num_nodes"]
+    has_ef = "edge_feat" in z.files
+    graphs, node_feats, edge_feats = [], [], []
+    for i in range(len(nn)):
+        graphs.append((z["src"][eo[i]:eo[i + 1]].astype(np.int64),
+                       z["dst"][eo[i]:eo[i + 1]].astype(np.int64), int(nn[i])))
+        node_feats.append(z["node_feat"][no[i]:no[i + 1]])
+        edge_feats.append(z["edge_feat"][eo[i]:eo[i + 1]] if has_ef else None)
+    labels = z["labels"].astype(np.int64)
+    splits = None
+    if "split_train" in z.files:
+        splits = {k: z[f"split_{k}"].astype(np.int64)
+                  for k in ("train", "valid", "test")}
+    return GraphClassificationData(
+        name, graphs, node_feats, edge_feats, labels,
+        int(labels.max()) + 1, synthetic=False, splits=splits,
+    )
+
+
+def _parse_tu(root: str, name: str) -> GraphClassificationData:
+    """TUDataset raw text format (reference: ``LegacyTUDataset`` in
+    ``main_dgl_enzymes_gcn.py:155``): 1-based global node ids in
+    ``<name>_A.txt``, per-node graph membership, per-graph labels,
+    continuous node attributes (ENZYMES: 18 dims)."""
+    def rd(suffix, dtype=np.int64, delim=","):
+        return np.loadtxt(os.path.join(root, f"{name}_{suffix}.txt"),
+                          dtype=dtype, delimiter=delim, ndmin=1)
+
+    edges = rd("A", np.int64) - 1  # (sum_E, 2), to 0-based
+    gi = rd("graph_indicator") - 1  # (sum_N,) graph id per node
+    raw_labels = rd("graph_labels")
+    # TU labels may be 1-based or arbitrary ints; compact to 0..C-1
+    _, labels = np.unique(raw_labels, return_inverse=True)
+    try:
+        nf_all = rd("node_attributes", np.float32).reshape(len(gi), -1)
+    except OSError:
+        # fall back to one-hot node labels when no continuous attributes
+        nl = rd("node_labels")
+        nl = nl - nl.min()
+        nf_all = np.eye(int(nl.max()) + 1, dtype=np.float32)[nl]
+    num_graphs = int(gi.max()) + 1
+    node_counts = np.bincount(gi, minlength=num_graphs)
+    node_off = np.concatenate([[0], np.cumsum(node_counts)])
+    # edges belong to the graph of their source node; ids become graph-local
+    eg = gi[edges[:, 0]]
+    order = np.argsort(eg, kind="stable")
+    edges, eg = edges[order], eg[order]
+    edge_counts = np.bincount(eg, minlength=num_graphs)
+    edge_off = np.concatenate([[0], np.cumsum(edge_counts)])
+    graphs, node_feats = [], []
+    for i in range(num_graphs):
+        e = edges[edge_off[i]:edge_off[i + 1]] - node_off[i]
+        graphs.append((e[:, 0], e[:, 1], int(node_counts[i])))
+        node_feats.append(nf_all[node_off[i]:node_off[i + 1]])
+    return GraphClassificationData(
+        name, graphs, node_feats, [None] * num_graphs,
+        labels.astype(np.int64), int(labels.max()) + 1, synthetic=False,
+    )
+
+
+def _parse_ogb_graphs(root: str, name: str) -> GraphClassificationData:
+    """OGB graph-prop raw csv.gz layout under ``<root>/<name_with_underscores>/``."""
+    d = os.path.join(root, name.replace("-", "_"))
+    raw = os.path.join(d, "raw")
+
+    def rd_csv(fn, dtype):
+        with gzip.open(os.path.join(raw, fn), "rt") as f:
+            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+
+    edges = rd_csv("edge.csv.gz", np.int64)  # graph-local ids
+    num_nodes = rd_csv("num-node-list.csv.gz", np.int64)[:, 0]
+    num_edges = rd_csv("num-edge-list.csv.gz", np.int64)[:, 0]
+    labels = rd_csv("graph-label.csv.gz", np.int64)[:, 0]
+    nf_all = rd_csv("node-feat.csv.gz",
+                    np.int64 if name == "ogbg-molhiv" else np.float32)
+    ef_path = os.path.join(raw, "edge-feat.csv.gz")
+    ef_all = None
+    if os.path.exists(ef_path):
+        ef_all = rd_csv("edge-feat.csv.gz",
+                        np.int64 if name == "ogbg-molhiv" else np.float32)
+    node_off = np.concatenate([[0], np.cumsum(num_nodes)])
+    edge_off = np.concatenate([[0], np.cumsum(num_edges)])
+    graphs, node_feats, edge_feats = [], [], []
+    for i in range(len(num_nodes)):
+        e = edges[edge_off[i]:edge_off[i + 1]]
+        graphs.append((e[:, 0], e[:, 1], int(num_nodes[i])))
+        node_feats.append(nf_all[node_off[i]:node_off[i + 1]].astype(
+            np.int32 if nf_all.dtype == np.int64 else np.float32))
+        edge_feats.append(
+            None if ef_all is None
+            else ef_all[edge_off[i]:edge_off[i + 1]].astype(
+                np.int32 if ef_all.dtype == np.int64 else np.float32))
+    split_dir = os.path.join(d, "split")
+    splits = None
+    if os.path.isdir(split_dir):
+        sub = sorted(os.listdir(split_dir))[0]
+
+        def rd_split(fn):
+            with gzip.open(os.path.join(split_dir, sub, fn), "rt") as f:
+                return np.loadtxt(f, dtype=np.int64, ndmin=1)
+
+        splits = {k: rd_split(f"{k}.csv.gz") for k in ("train", "valid", "test")}
+    return GraphClassificationData(
+        name, graphs, node_feats, edge_feats, labels,
+        int(labels.max()) + 1, synthetic=False, splits=splits,
+    )
+
+
+def load_graph_dataset(
+    name: str, root: Optional[str] = None, seed: int = 0,
+    num_graphs: Optional[int] = None,
+) -> GraphClassificationData:
+    """Graph-classification datasets (ENZYMES/ogbg-molhiv/ogbg-ppa), search
+    order: canonical npz → public raw (TU text / OGB csv.gz) → synthetic.
+
+    ``num_graphs`` caps the dataset size; real data is truncated (with a
+    notice) only when a cap is explicitly requested.
+    """
+    root = root or data_root()
+    data = None
+    npz = os.path.join(root, f"{name}_graphs.npz")
+    try:
+        if os.path.exists(npz):
+            data = _load_canonical_graphs_npz(npz, name)
+        elif os.path.exists(os.path.join(root, name, f"{name}_A.txt")):
+            data = _parse_tu(os.path.join(root, name), name)
+        elif name.startswith("ogbg-") and os.path.isdir(
+            os.path.join(root, name.replace("-", "_"), "raw")
+        ):
+            data = _parse_ogb_graphs(root, name)
+    except Exception as exc:
+        print(f"[dgl_tpu.data] failed to parse on-disk {name}: {exc!r}; "
+              "falling back to synthetic", file=sys.stderr)
+    if data is None:
+        return synthetic_graph_classification(name, seed=seed, num_graphs=num_graphs)
+    if num_graphs is not None and num_graphs < len(data.graphs):
+        print(f"[dgl_tpu.data] {name}: capping {len(data.graphs)} -> "
+              f"{num_graphs} graphs (--num-graphs)", file=sys.stderr)
+        keep = np.arange(num_graphs)
+        splits = None
+        if data.splits is not None:
+            splits = {k: v[v < num_graphs] for k, v in data.splits.items()}
+        data = GraphClassificationData(
+            name, [data.graphs[i] for i in keep],
+            [data.node_feats[i] for i in keep],
+            [data.edge_feats[i] for i in keep],
+            data.labels[keep], data.num_classes,
+            synthetic=False, splits=splits,
+        )
+    return data

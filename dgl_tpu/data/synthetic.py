@@ -91,6 +91,10 @@ class GraphClassificationData:
     labels: np.ndarray
     num_classes: int
     synthetic: bool = True
+    # real OGB datasets ship scaffold/species splits (index arrays into
+    # graphs); None → drivers use the reference's random 80/10/10 seed-42
+    # split (main_dgl_enzymes_gcn.py:155-163)
+    splits: Optional[Dict[str, np.ndarray]] = None
 
 
 def _powerlaw_targets(rng, n: int, e: int, alpha: float = 0.8) -> np.ndarray:

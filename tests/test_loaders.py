@@ -224,3 +224,120 @@ def test_movielens_fixture(data_dir, rng):
     # enc graph has one relation pair per observed rating value
     vals = sorted(set(ratings.tolist()))
     assert d.rating_vals == vals
+
+
+def test_tu_fixture(data_dir, rng):
+    """TU text layout (ENZYMES_A.txt etc., 1-based ids) -> per-graph
+    structures with graph-local edges and continuous node attributes."""
+    from dgl_tpu.data.loaders import load_graph_dataset
+
+    d = os.path.join(data_dir, "ENZYMES")
+    os.makedirs(d)
+    # 2 graphs: nodes 1-3 in g1 (triangle), 4-5 in g2 (single edge)
+    np.savetxt(os.path.join(d, "ENZYMES_A.txt"),
+               [[1, 2], [2, 3], [3, 1], [4, 5]], fmt="%d", delimiter=", ")
+    np.savetxt(os.path.join(d, "ENZYMES_graph_indicator.txt"),
+               [1, 1, 1, 2, 2], fmt="%d")
+    np.savetxt(os.path.join(d, "ENZYMES_graph_labels.txt"), [2, 6], fmt="%d")
+    attrs = rng.standard_normal((5, 18)).astype(np.float32)
+    np.savetxt(os.path.join(d, "ENZYMES_node_attributes.txt"), attrs,
+               delimiter=",", fmt="%.6f")
+    data = load_graph_dataset("ENZYMES")
+    assert not data.synthetic
+    assert len(data.graphs) == 2
+    s0, d0, n0 = data.graphs[0]
+    np.testing.assert_array_equal(s0, [0, 1, 2])
+    np.testing.assert_array_equal(d0, [1, 2, 0])
+    assert n0 == 3
+    s1, d1, n1 = data.graphs[1]
+    np.testing.assert_array_equal(s1, [0])  # graph-local ids
+    np.testing.assert_array_equal(d1, [1])
+    assert n1 == 2
+    np.testing.assert_allclose(data.node_feats[1], attrs[3:5], atol=1e-5)
+    np.testing.assert_array_equal(data.labels, [0, 1])  # compacted
+    assert data.splits is None  # TU -> reference random 80/10/10
+
+
+def test_ogb_graph_fixture(data_dir, rng):
+    """OGB graph-prop csv.gz layout -> graphs, int mol features, scaffold
+    split indices."""
+    from dgl_tpu.data.loaders import load_graph_dataset
+
+    d = os.path.join(data_dir, "ogbg_molhiv")
+    raw = os.path.join(d, "raw")
+    split = os.path.join(d, "split", "scaffold")
+    os.makedirs(raw); os.makedirs(split)
+
+    def wr(path, arr, fmt):
+        with gzip.open(path, "wt") as f:
+            np.savetxt(f, arr, fmt=fmt, delimiter=",")
+
+    # 3 graphs: 2/3/2 nodes, 2/2/1 edges (graph-local ids)
+    wr(os.path.join(raw, "edge.csv.gz"),
+       [[0, 1], [1, 0], [0, 2], [2, 1], [1, 0]], "%d")
+    wr(os.path.join(raw, "num-node-list.csv.gz"), [[2], [3], [2]], "%d")
+    wr(os.path.join(raw, "num-edge-list.csv.gz"), [[2], [2], [1]], "%d")
+    wr(os.path.join(raw, "graph-label.csv.gz"), [[0], [1], [0]], "%d")
+    nf = rng.integers(0, 10, (7, 9))
+    wr(os.path.join(raw, "node-feat.csv.gz"), nf, "%d")
+    ef = rng.integers(0, 4, (5, 3))
+    wr(os.path.join(raw, "edge-feat.csv.gz"), ef, "%d")
+    wr(os.path.join(split, "train.csv.gz"), [[0]], "%d")
+    wr(os.path.join(split, "valid.csv.gz"), [[1]], "%d")
+    wr(os.path.join(split, "test.csv.gz"), [[2]], "%d")
+
+    data = load_graph_dataset("ogbg-molhiv")
+    assert not data.synthetic
+    assert len(data.graphs) == 3
+    s1, d1, n1 = data.graphs[1]
+    np.testing.assert_array_equal(s1, [0, 2])
+    np.testing.assert_array_equal(d1, [2, 1])
+    assert n1 == 3
+    assert data.node_feats[1].shape == (3, 9)
+    assert data.node_feats[0].dtype == np.int32  # mol vocab ids
+    np.testing.assert_array_equal(data.edge_feats[2], ef[4:5])
+    np.testing.assert_array_equal(data.splits["valid"], [1])
+
+
+def test_convert_tool_roundtrip(data_dir, rng, monkeypatch):
+    """tools/convert_dataset.py caches a raw TU dir as canonical
+    <name>_graphs.npz; the canonical file is then preferred and loads
+    identically (including splits passthrough for OGB)."""
+    import importlib
+    import sys as _sys
+
+    from dgl_tpu.data.loaders import load_graph_dataset
+
+    d = os.path.join(data_dir, "ENZYMES")
+    os.makedirs(d)
+    np.savetxt(os.path.join(d, "ENZYMES_A.txt"),
+               [[1, 2], [2, 1], [3, 4]], fmt="%d", delimiter=", ")
+    np.savetxt(os.path.join(d, "ENZYMES_graph_indicator.txt"),
+               [1, 1, 2, 2], fmt="%d")
+    np.savetxt(os.path.join(d, "ENZYMES_graph_labels.txt"), [1, 2], fmt="%d")
+    np.savetxt(os.path.join(d, "ENZYMES_node_attributes.txt"),
+               rng.standard_normal((4, 5)), delimiter=",", fmt="%.6f")
+    before = load_graph_dataset("ENZYMES")
+
+    sys_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    _sys.path.insert(0, sys_path)
+    try:
+        tool = importlib.import_module("convert_dataset")
+    finally:
+        _sys.path.remove(sys_path)
+    monkeypatch.setattr(_sys, "argv",
+                        ["convert_dataset.py", "graph", "ENZYMES"])
+    tool.main()
+    assert os.path.exists(os.path.join(data_dir, "ENZYMES_graphs.npz"))
+    after = load_graph_dataset("ENZYMES")
+    assert not after.synthetic
+    assert len(after.graphs) == len(before.graphs)
+    for (s0, d0, n0), (s1, d1, n1) in zip(before.graphs, after.graphs):
+        np.testing.assert_array_equal(s0, s1)
+        np.testing.assert_array_equal(d0, d1)
+        assert n0 == n1
+    np.testing.assert_allclose(
+        np.concatenate(before.node_feats), np.concatenate(after.node_feats),
+        atol=1e-6)
+    np.testing.assert_array_equal(before.labels, after.labels)

@@ -90,6 +90,7 @@ def load_results():
 
 
 def merge_row(row):
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
     rows = [r for r in load_results() if r["workload"] != row["workload"]]
     rows.append(row)
     tmp = RESULTS + ".tmp"
