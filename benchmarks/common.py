@@ -109,3 +109,59 @@ def print_data_stats(data):
     )
     if data.synthetic:
         print("  (synthetic fallback data — structural stats matched to the real dataset)")
+
+
+def prepare_full_graph(
+    name, data, *, scale=1.0, seed=0, bidirect=False, self_loops=False,
+    reorder=False, order_key=None, cache_min_edges=4_000_000,
+):
+    """Shared edge pipeline for the full-graph node drivers:
+    bidirect → locality reorder → self-loops → from_edges, with the whole
+    result disk-cached for big graphs (dgl_tpu/graph/cache.py — products-
+    scale host prep is ~5 min/process and every harness row is a fresh
+    subprocess). Node-indexed arrays are permuted by the cached order so a
+    cache hit never recomputes the partitioner.
+
+    Returns ``(g, features, labels, mask_arrays, order)``; ``order`` is
+    None when ``reorder`` is False.
+    """
+    import dgl_tpu
+    from dgl_tpu.data.loaders import data_root
+    from dgl_tpu.graph import transforms
+    from dgl_tpu.graph.cache import cached_graph
+
+    src, dst = np.asarray(data.src), np.asarray(data.dst)
+    n = data.num_nodes
+    cache = data_root() if len(src) >= cache_min_edges else None
+    key = (f"{name}_s{scale}_sd{seed}_b{int(bidirect)}"
+           f"l{int(self_loops)}r{int(reorder)}")
+
+    def build():
+        s, d = (transforms.to_bidirected(src, dst, n) if bidirect
+                else (src, dst))
+        aux = {}
+        if reorder:
+            from dgl_tpu.graph.reorder import apply_order, locality_order
+
+            order = locality_order(
+                s, d, n, seed=seed, cache_dir=data_root(),
+                cache_key=order_key or f"{name}_s{scale}")
+            s, d, _ = apply_order(order, s, d)
+            aux["order"] = order
+        if self_loops:
+            s, d = transforms.add_self_loops(s, d, n)
+        # numpy leaves: the cache writes without a device round-trip
+        return dgl_tpu.from_edges(s, d, n, device=False), aux
+
+    g, aux = cached_graph(build, cache, key)
+    if not isinstance(g.src, jnp.ndarray) or cache is None:
+        # upload numpy-leaf graphs (fresh small builds / cache-miss path)
+        g = jax.tree_util.tree_map(jnp.asarray, g)
+    order = aux.get("order")
+    features, labels = data.features, data.labels
+    masks = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
+    if order is not None:
+        features = np.asarray(features)[order]
+        labels = np.asarray(labels)[order]
+        masks = {k: np.asarray(v)[order] for k, v in masks.items()}
+    return g, features, labels, masks, order

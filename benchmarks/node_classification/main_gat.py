@@ -25,6 +25,7 @@ from common import (  # noqa: E402
     load_node_dataset,
     masked_accuracy,
     masked_softmax_ce,
+    prepare_full_graph,
     print_data_stats,
     Logger,
 )
@@ -83,28 +84,13 @@ def main():
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
     print_data_stats(data)
 
-    src, dst = data.src, data.dst
-    if cfg["bidirect"]:
-        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
-    features, labels = data.features, data.labels
-    mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
-    if args.lane_kernel:
-        # locality relabeling maximizes the lane plan's tile density: hub
-        # extraction + multilevel community blocks (same order bench.py uses)
-        from dgl_tpu.graph.reorder import apply_order, locality_order
-
-        from dgl_tpu.data.loaders import data_root
-
-        order = locality_order(
-            src, dst, data.num_nodes, seed=args.seed,
-            cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}_gat",
-        )
-        src, dst, features, labels, *mvals, _ = apply_order(
-            order, src, dst, features, labels, *mask_arrays.values()
-        )
-        mask_arrays = dict(zip(mask_arrays.keys(), mvals))
-    src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
-    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    # locality reorder (lane path): hub extraction + multilevel community
+    # blocks maximize the lane plan's tile density (same order bench.py uses)
+    g, features, labels, mask_arrays, _ = prepare_full_graph(
+        args.dataset, data, scale=args.scale, seed=args.seed,
+        bidirect=cfg["bidirect"], self_loops=True, reorder=args.lane_kernel,
+        order_key=f"{args.dataset}_s{args.scale}_gat",
+    )
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans
 

@@ -22,6 +22,7 @@ from common import (  # noqa: E402
     load_node_dataset,
     masked_bce,
     mean_multilabel_auc,
+    prepare_full_graph,
     print_data_stats,
     Logger,
 )
@@ -58,33 +59,28 @@ def main():
     data = load_node_dataset("ogbn-proteins", seed=args.seed, scale=args.scale)
     print_data_stats(data)
 
-    src, dst = data.src, data.dst
     lane_weights = None
+    ck = f"proteins_s{args.scale}_rgcn"
+    # NOTE: the previous lane path relabeled edge endpoints without
+    # permuting labels/masks (accuracy garbage under --lane-kernel);
+    # prepare_full_graph permutes every node-indexed array by the order.
+    g, _, labels, mask_arrays, _ = prepare_full_graph(
+        "ogbn-proteins", data, scale=args.scale, seed=0,
+        reorder=args.lane_kernel, order_key=ck,
+    )
     if args.lane_kernel:
         from dgl_tpu.data.loaders import data_root
-        from dgl_tpu.graph.reorder import apply_order, locality_order
         from dgl_tpu.kernels import attach_lane_plans
         from dgl_tpu.ops.rel_lane import RelLaneWeights
 
-        ck = f"proteins_s{args.scale}_rgcn"
-        order = locality_order(src, dst, data.num_nodes, seed=0,
-                               cache_dir=data_root(), cache_key=ck)
-        src, dst, _ = apply_order(order, src, dst)
-        g = attach_lane_plans(
-            dgl_tpu.from_edges(src, dst, data.num_nodes),
-            cache_dir=data_root(), cache_key=ck,
-        )
+        g = attach_lane_plans(g, cache_dir=data_root(), cache_key=ck)
         if g.lane is not None:
             ew = np.asarray(g.permute_edata(jnp.asarray(data.edge_feat)))
             lane_weights = RelLaneWeights.build(g, ew)
-        else:
-            g = dgl_tpu.from_edges(src, dst, data.num_nodes)
-    else:
-        g = dgl_tpu.from_edges(src, dst, data.num_nodes)
     node_feats = jnp.ones((data.num_nodes, 1), dtype=jnp.float32)
     edge_weights = g.permute_edata(jnp.asarray(data.edge_feat))  # (E_pad, 8)
-    y = jnp.asarray(data.labels, dtype=jnp.float32)  # (N, 112) multilabel
-    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+    y = jnp.asarray(labels, dtype=jnp.float32)  # (N, 112) multilabel
+    masks = {k: jnp.asarray(v) for k, v in mask_arrays.items()}
 
     model = RGCN(
         hidden_feats=args.hidden_feats,

@@ -26,6 +26,7 @@ from common import (  # noqa: E402
     load_node_dataset,
     masked_accuracy,
     masked_softmax_ce,
+    prepare_full_graph,
     print_data_stats,
     Logger,
 )
@@ -206,34 +207,22 @@ def main():
         run_sharded(args, cfg, data)
         return
 
-    src, dst = data.src, data.dst
-    if cfg["bidirect"]:
-        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
-    if len(src) > 80_000_000:
+    if (len(data.src) * (2 if cfg["bidirect"] else 1)) > 80_000_000:
         # ogbn-products scale: several feature-chunked SpMM passes coexist
         # in one step program and XLA double-buffers their chunk loops — the
         # default 4GB per-op message budget overcommits the 16GB chip
         # (measured: runtime HBM OOM in the products train step). 1GB keeps
         # the live set bounded at ~an eighth of HBM.
         os.environ.setdefault("DGL_TPU_MSG_BUDGET_GB", "1")
-    features, labels = data.features, data.labels
-    mask_arrays = {k: getattr(data, f"{k}_mask") for k in ("train", "val", "test")}
-    if args.lane_kernel:
-        # locality relabeling maximizes the lane plan's tile density: hub
-        # extraction + multilevel community blocks (same order bench.py uses)
-        from dgl_tpu.graph.reorder import apply_order, locality_order
+    from dgl_tpu.data.loaders import data_root
 
-        from dgl_tpu.data.loaders import data_root
-
-        order = locality_order(
-            src, dst, data.num_nodes, seed=args.seed,
-            cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}",
-        )
-        src, dst, features, labels, *mvals, _ = apply_order(
-            order, src, dst, features, labels, *mask_arrays.values()
-        )
-        mask_arrays = dict(zip(mask_arrays.keys(), mvals))
-    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    # locality reorder (lane path): hub extraction + multilevel community
+    # blocks maximize the lane plan's tile density (same order bench.py uses)
+    g, features, labels, mask_arrays, _ = prepare_full_graph(
+        args.dataset, data, scale=args.scale, seed=args.seed,
+        bidirect=cfg["bidirect"], reorder=args.lane_kernel,
+        order_key=f"{args.dataset}_s{args.scale}",
+    )
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans
 
@@ -248,11 +237,27 @@ def main():
 
     # Hoist the layer-1 aggregation of the constant input features out of
     # the hot loop (exact; see GraphSAGE docstring / reference use_pp trick).
+    # Disk-cached for big graphs: at products scale the chunked exact pass
+    # is minutes of device time, identical on every subprocess/retry.
     x_agg = None
     if not args.no_precompute:
         from dgl_tpu.ops.spmm import gspmm_chunked
-        x_agg = gspmm_chunked(g, "copy_u", args.aggr, x)
-        jax.block_until_ready(x_agg)
+
+        agg_path = None
+        if g.num_edges > 4_000_000:
+            agg_path = os.path.join(
+                data_root(),
+                f"xagg_{args.dataset}_s{args.scale}_sd{args.seed}"
+                f"_{args.aggr}_r{int(args.lane_kernel)}.npy")
+        if agg_path and os.path.exists(agg_path):
+            x_agg = jnp.asarray(np.load(agg_path))
+        else:
+            x_agg = gspmm_chunked(g, "copy_u", args.aggr, x)
+            jax.block_until_ready(x_agg)
+            if agg_path:
+                tmp = agg_path + f".tmp{os.getpid()}.npy"
+                np.save(tmp, np.asarray(x_agg))
+                os.replace(tmp, agg_path)
 
     model = GraphSAGE(
         hidden_feats=cfg["hidden"],

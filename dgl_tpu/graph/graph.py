@@ -228,8 +228,15 @@ def _build_mxu_blocks(
     chg = np.ones((B, SEG_BLOCK), dtype=bool)
     chg[:, 1:] = blk[:, 1:] != blk[:, :-1]
     loc = (np.cumsum(chg, axis=1) - 1).astype(np.int32)
-    flat = np.arange(B, dtype=np.int64)[:, None] * SEG_BLOCK + loc
-    upos, first = np.unique(flat.ravel(), return_index=True)
+    flat = (np.arange(B, dtype=np.int64)[:, None] * SEG_BLOCK + loc).ravel()
+    # flat is globally nondecreasing (loc is nondecreasing within a block and
+    # the block base dominates across blocks), so unique == boundary diff —
+    # O(E) instead of np.unique's sort (measured 83 s -> ~1 s at ogbn-products
+    # scale, 92M edges)
+    first = np.empty(len(flat), dtype=bool)
+    first[0] = True
+    np.not_equal(flat[1:], flat[:-1], out=first[1:])
+    upos = flat[first]
     pdst_v = dst.ravel()[first].astype(np.int32)
     valid = pdst_v < num_dst  # padding pieces (sentinel dst) never selected
     upos, pdst_v = upos[valid], pdst_v[valid]
@@ -311,6 +318,7 @@ def from_edges(
     e_pad: Optional[int] = None,
     pad_multiple: int = _LANES,
     build_reverse: bool = True,
+    device: bool = True,
 ) -> Graph:
     """Build a :class:`Graph` from COO edge lists (host-side).
 
@@ -322,6 +330,10 @@ def from_edges(
         few compiled shapes); defaults to ``pad_length(len(src))``.
       build_reverse: also build the transpose graph (needed for out-degrees,
         backward scatter and reduce-by-src ops).
+      device: wrap leaves as jax arrays (upload). ``False`` keeps numpy
+        leaves — used by the disk cache (graph/cache.py) to save without a
+        device round-trip; numpy-leaf Graphs work in jit but re-upload per
+        call, so convert before a hot loop.
     """
     src = np.asarray(src)
     dst = np.asarray(dst)
@@ -339,9 +351,10 @@ def from_edges(
     if e_pad < num_e:
         raise ValueError(f"e_pad={e_pad} < num_edges={num_e}")
 
+    wrap = jnp.asarray if device else (lambda a: a)
     s, d, indptr, e = _build_sorted(src, dst, num_src_nodes, num_dst_nodes, e_pad)
-    segb = tuple(jnp.asarray(a) for a in _build_seg_blocks(indptr.astype(np.int64), e_pad))
-    mxub = tuple(jnp.asarray(a) for a in _build_mxu_blocks(d, num_dst_nodes, e_pad))
+    segb = tuple(wrap(a) for a in _build_seg_blocks(indptr.astype(np.int64), e_pad))
+    mxub = tuple(wrap(a) for a in _build_mxu_blocks(d, num_dst_nodes, e_pad))
     rev = None
     if build_reverse:
         # Build the transpose from the *canonical* arrays so that rev.eid maps
@@ -352,16 +365,16 @@ def from_edges(
             d[:num_e], s[:num_e], num_dst_nodes, num_src_nodes, e_pad
         )
         rev_segb = tuple(
-            jnp.asarray(a) for a in _build_seg_blocks(rindptr.astype(np.int64), e_pad)
+            wrap(a) for a in _build_seg_blocks(rindptr.astype(np.int64), e_pad)
         )
         rev_mxub = tuple(
-            jnp.asarray(a) for a in _build_mxu_blocks(rd, num_src_nodes, e_pad)
+            wrap(a) for a in _build_mxu_blocks(rd, num_src_nodes, e_pad)
         )
         rev = Graph(
-            src=jnp.asarray(rs),
-            dst=jnp.asarray(rd),
-            indptr=jnp.asarray(rindptr),
-            eid=jnp.asarray(re),
+            src=wrap(rs),
+            dst=wrap(rd),
+            indptr=wrap(rindptr),
+            eid=wrap(re),
             num_src_nodes=num_dst_nodes,
             num_dst_nodes=num_src_nodes,
             num_edges=num_e,
@@ -370,10 +383,10 @@ def from_edges(
             mxublocks=rev_mxub,
         )
     return Graph(
-        src=jnp.asarray(s),
-        dst=jnp.asarray(d),
-        indptr=jnp.asarray(indptr),
-        eid=jnp.asarray(e),
+        src=wrap(s),
+        dst=wrap(d),
+        indptr=wrap(indptr),
+        eid=wrap(e),
         num_src_nodes=num_src_nodes,
         num_dst_nodes=num_dst_nodes,
         num_edges=num_e,

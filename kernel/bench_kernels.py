@@ -31,15 +31,45 @@ N_COLD_START = 2
 FEAT_SIZES = [2**x for x in range(8)]
 _CSV_PATH = None
 
+# HBM roofline: v5e ≈ 819 GB/s (public spec). The % column reports
+# min-traffic / (time × BW) where min-traffic is the information-theoretic
+# floor for the op — node features read ONCE (perfect reuse), output written
+# once, plus the edge structure stream. 100% = speed of light; the gap is
+# gather replay + scatter machinery. Override via DGL_TPU_HBM_GBPS for other
+# chips.
+import os as _os
 
-def _csv(dataset, kind, op, hidden, seconds):
+_HBM_BPS = float(_os.environ.get("DGL_TPU_HBM_GBPS", "819")) * 1e9
+
+
+def _min_bytes(kind, graph, n_hid, itemsize=4):
+    e = graph.num_edges
+    n_src, n_dst = graph.num_src_nodes, graph.num_dst_nodes
+    feat = n_hid * itemsize
+    if kind == "spmm":  # read x once + edge ids + write out
+        return n_src * feat + e * 4 + n_dst * feat
+    if kind == "sddmm":  # read u,v once + 2 edge ids + write per-edge out
+        return (n_src + n_dst) * feat + e * 8 + e * feat
+    if kind == "scatter":  # materialized (E, D) message path: gather write+read
+        return n_src * feat + e * 4 + 2 * e * feat + n_dst * feat
+    return None
+
+
+def _sol_pct(kind, graph, n_hid, seconds):
+    b = _min_bytes(kind, graph, n_hid)
+    if b is None or seconds <= 0:
+        return ""
+    return f"{100.0 * b / (_HBM_BPS * seconds):.1f}"
+
+
+def _csv(dataset, kind, op, hidden, seconds, sol=""):
     if _CSV_PATH:
         import os
         new = not os.path.exists(_CSV_PATH)
         with open(_CSV_PATH, "a") as f:
             if new:
-                f.write("dataset,kind,op,hidden,seconds\n")
-            f.write(f"{dataset},{kind},{op},{hidden},{seconds}\n")
+                f.write("dataset,kind,op,hidden,seconds,sol_pct\n")
+            f.write(f"{dataset},{kind},{op},{hidden},{seconds},{sol}\n")
 
 
 def bench_op(fn, *args):
@@ -78,9 +108,48 @@ def bench_spmm(g, binary_op, reduce_op, scale):
                 return jnp.sum(out) * 1e-30 + c
 
             avg = bench_op(run)
-            print("hidden size: {}, avg time: {}".format(n_hid, avg))
-            _csv(g, "spmm", f"{binary_op}.{reduce_op}", n_hid, avg)
+            sol = _sol_pct("spmm", graph, n_hid, avg)
+            print("hidden size: {}, avg time: {}  (SOL {}%)".format(n_hid, avg, sol))
+            _csv(g, "spmm", f"{binary_op}.{reduce_op}", n_hid, avg, sol)
         except Exception as e:  # OOM etc → report and continue (dgl-new.py:26)
+            print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
+
+
+def bench_spmm_lane(g, reduce_op, scale):
+    """Pallas lane-kernel rows (forced — bypasses the profitability model so
+    the table shows lane vs XLA crossover across the full width sweep).
+    Graph gets the same locality reorder + plan attach as the drivers."""
+    from dgl_tpu.graph.reorder import apply_order, locality_order
+    from dgl_tpu.kernels import attach_lane_plans
+    from dgl_tpu.ops.spmm import _lane_copy_u
+    from dgl_tpu.data.loaders import data_root
+
+    print("SPMM (lane kernel, forced)\n----")
+    data = load_node_dataset(g, scale=scale)
+    order = locality_order(data.src, data.dst, data.num_nodes,
+                           cache_dir=data_root(), cache_key=f"{g}_s{scale}_kb")
+    src, dst, *_ = apply_order(order, data.src, data.dst)
+    graph = dgl_tpu.from_edges(src, dst, data.num_nodes)
+    graph = attach_lane_plans(graph, cache_dir=data_root(),
+                              cache_key=f"{g}_s{scale}_kb")
+    if graph.lane is None:
+        print("lane plans did not attach (graph tiles too sparsely); skipping")
+        return
+    rng = np.random.default_rng(0)
+    for n_hid in FEAT_SIZES:
+        try:
+            nfeat = jnp.asarray(
+                rng.standard_normal((graph.num_src_nodes, n_hid)).astype(np.float32))
+
+            def run(c, nfeat=nfeat):
+                out = _lane_copy_u(reduce_op, graph, nfeat + c)
+                return jnp.sum(out) * 1e-30 + c
+
+            avg = bench_op(run)
+            sol = _sol_pct("spmm", graph, n_hid, avg)
+            print("hidden size: {}, avg time: {}  (SOL {}%)".format(n_hid, avg, sol))
+            _csv(g, "lane_spmm", f"copy_lhs.{reduce_op}", n_hid, avg, sol)
+        except Exception as e:
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
 
@@ -99,8 +168,9 @@ def bench_sddmm(g, binary_op, scale):
                 return jnp.sum(out) * 1e-30 + c
 
             avg = bench_op(run)
-            print("hidden size: {}, avg time: {}".format(n_hid, avg))
-            _csv(g, "sddmm", binary_op, n_hid, avg)
+            sol = _sol_pct("sddmm", graph, n_hid, avg)
+            print("hidden size: {}, avg time: {}  (SOL {}%)".format(n_hid, avg, sol))
+            _csv(g, "sddmm", binary_op, n_hid, avg, sol)
         except Exception as e:
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
@@ -134,8 +204,9 @@ def bench_scatter(g, reduce_op, scale):
                 return jnp.sum(out) * 1e-30 + c
 
             avg = bench_op(run)
-            print("hidden size: {}, avg time: {}".format(n_hid, avg))
-            _csv(g, "scatter", f"gather.segment_{reduce_op}", n_hid, avg)
+            sol = _sol_pct("scatter", graph, n_hid, avg)
+            print("hidden size: {}, avg time: {}  (SOL {}%)".format(n_hid, avg, sol))
+            _csv(g, "scatter", f"gather.segment_{reduce_op}", n_hid, avg, sol)
         except Exception as e:
             print("hidden size: {}, OOM/err: {}".format(n_hid, type(e).__name__))
 
@@ -153,6 +224,9 @@ if __name__ == "__main__":
     parser.add_argument("--scale", type=float, default=1.0)
     parser.add_argument("--skip-sddmm", action="store_true")
     parser.add_argument("--skip-spmm", action="store_true")
+    parser.add_argument("--lane", action="store_true",
+                        help="also sweep the forced Pallas lane-kernel path "
+                             "(locality reorder + plan attach)")
     parser.add_argument("--scatter", action="store_true",
                         help="also sweep the user-level scatter API "
                              "(gather + segment_* — the PyG-twin tier)")
@@ -171,3 +245,6 @@ if __name__ == "__main__":
         if args.scatter:
             reduce = args.spmm_reduce if args.spmm_reduce != "min" else "max"
             bench_scatter(dataset, reduce, args.scale)
+        if args.lane:
+            reduce = args.spmm_reduce if args.spmm_reduce in ("sum", "mean") else "sum"
+            bench_spmm_lane(dataset, reduce, args.scale)

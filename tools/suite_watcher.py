@@ -45,6 +45,12 @@ ROW_ORDER = [
 # training epoch is made of), NOT compile latency: a fresh-process compile
 # rides the host CPU + tunnel and can sit at ~800ms even when the chip is
 # perfectly healthy (measured 2026-08-18: compile 837ms, dispatch 0.03ms).
+# The probe must include a device->host VALUE FETCH: the pool has a failure
+# mode where dispatch + block_until_ready succeed but any readback hangs and
+# eventually surfaces as "UNAVAILABLE: TPU device error" (measured
+# 2026-08-20: killed products_sage twice at the first float(loss) while the
+# dispatch-only probe kept reporting 0 ms). Every driver syncs through
+# float(loss), so a pool that can't read back is dark for our purposes.
 PROBE = (
     "import time; import jax, jax.numpy as jnp;"
     "x=jnp.ones((1024,1024),jnp.bfloat16);"
@@ -53,7 +59,11 @@ PROBE = (
     "r=x\n"
     "for _ in range(20): r=f(r)\n"
     "r.block_until_ready();"
-    "print('PROBE_MS', (time.time()-t1)*1000/20)"
+    "d=(time.time()-t1)*1000/20;"
+    "t2=time.time();"
+    "v=float(jnp.max(r.astype(jnp.float32)));"
+    "fetch=(time.time()-t2)*1000;"
+    "print('PROBE_MS', max(d, fetch))"
 )
 
 
