@@ -118,6 +118,14 @@ WORKLOADS = [
                 "--runs", "1", "--hidden_size", "64", "--batch_size", "256"],
       "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "256"]},
      {"note": "runs capped 3->1"}),
+    # the PyG-twin lowering on the reference's fused-vs-scatter case
+    # (README.md:72: DGL loses ~10% to PyG on molhiv at ~1:1 node:edge);
+    # comparing this row with molhiv_gcn reproduces that design tension
+    ("molhiv_gcn_scatter", "graph_classification/main_gcn.py",
+     {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
+                "--runs", "1", "--hidden_size", "64", "--lowering", "scatter"],
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--lowering", "scatter"]},
+     {"note": "runs capped 3->1; PyG-twin scatter lowering"}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],
@@ -157,6 +165,8 @@ BASELINE_EPOCH_S = {
     "arxiv_gat": 0.0798,
     "enzymes_gcn": 0.092, "enzymes_gcn_b128": 0.052, "enzymes_gcn_b256": 0.039,
     "molhiv_gcn": 15.089, "molhiv_gcn_b128": 8.666, "molhiv_gcn_b256": 5.166,
+    # scatter row compares against PyG's published molhiv bs=64 (README.md:65)
+    "molhiv_gcn_scatter": 13.517,
 }
 
 TIME_RE = re.compile(

@@ -13,6 +13,7 @@ single compiled step serves the epoch; collation runs on host threads
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -52,6 +53,14 @@ def main():
     parser.add_argument("--eval", action="store_true",
                         help="If not set, we will only do the training part.")
     parser.add_argument("--eval_batch_size", type=int, default=2048)
+    parser.add_argument("--lowering", choices=("fused", "scatter"),
+                        default="fused",
+                        help="message-passing lowering: 'fused' = custom-VJP "
+                             "sorted reductions (DGL-style); 'scatter' = "
+                             "explicit gather + plain segment op with AD "
+                             "scatter-add (PyG-style; reproduces the "
+                             "reference's molhiv fused-vs-scatter comparison, "
+                             "README.md:72)")
     parser.add_argument("--num-graphs", type=int, default=None,
                         help="subsample the dataset (synthetic scale knob)")
     args = parser.parse_args()
@@ -66,6 +75,8 @@ def main():
         # mid-eval). 512 keeps the eval spike ~1GB.
         args.eval_batch_size = 512
     print(args)
+    if args.lowering == "scatter":
+        os.environ["DGL_TPU_LOWERING"] = "scatter"
 
     data = load_graph_dataset(args.dataset, num_graphs=args.num_graphs)
     if data.synthetic:

@@ -548,6 +548,30 @@ def gspmm(
     if needs_e and e is None:
         raise ValueError(f"spmm op {op!r} requires edge features e")
 
+    if (
+        os.environ.get("DGL_TPU_LOWERING") == "scatter"
+        and reduce in ("sum", "mean")
+        and not exact
+    ):
+        # PyG-twin lowering (reference N10/K2, README.md:72): materialize the
+        # (E, ...) message via explicit gathers and reduce with the plain
+        # segment op — NO custom VJP, no reverse-graph routing, no edge/
+        # feature chunking. AD differentiates the gather into an unsorted
+        # scatter-add, exactly the cost profile torch_scatter gives PyG.
+        # Drivers expose this as --lowering scatter so the fused-vs-scatter
+        # design tension is reproducible at workload level (the reference
+        # measured DGL losing ~10% to PyG on molhiv at ~1:1 node:edge).
+        if needs_x:
+            xe = _gather_src(g, x)
+            msg = _combine(op, xe, e) if needs_e else xe
+        else:
+            msg = e
+        out = segment_sum(msg, g.dst, g.num_dst_nodes, sorted=True)
+        if reduce == "mean":
+            inv = _inv_deg(g, out.dtype)
+            out = out * inv.reshape(inv.shape + (1,) * (out.ndim - 1))
+        return out
+
     if os.environ.get("DGL_TPU_FAULT_ZERO_AGG"):
         # deliberate fault injection (test-only): zero every aggregation so
         # the hardened structure-required e2e gates demonstrably FAIL when

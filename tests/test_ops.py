@@ -380,3 +380,44 @@ def test_gspmm_rel_matches_loop(rng, reduce, k):
     for a, b, name in zip(gc, gr, ("y", "w")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_scatter_lowering_matches_fused(rng, monkeypatch):
+    """DGL_TPU_LOWERING=scatter (the PyG-twin lowering drivers expose as
+    --lowering scatter) must agree with the fused custom-VJP path in both
+    values and gradients — it is the same math, different cost profile."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import dgl_tpu
+    from dgl_tpu.ops import gspmm
+
+    n, e = 120, 900
+    g = dgl_tpu.from_edges(rng.integers(0, n, e), rng.integers(0, n, e), n)
+    x = jnp.asarray(rng.standard_normal((n, 9)).astype(np.float32))
+    ed = jnp.asarray(rng.standard_normal((g.num_edges_padded, 9)).astype(np.float32))
+
+    def run(op, reduce, use_e):
+        def f(x, ed):
+            out = gspmm(g, op, reduce, x=None if op == "copy_e" else x,
+                        e=ed if use_e else None)
+            return jnp.sum(out ** 2)
+        return f
+
+    for op, reduce, use_e in [("copy_u", "sum", False), ("copy_u", "mean", False),
+                              ("mul", "sum", True), ("copy_e", "mean", True)]:
+        f = run(op, reduce, use_e)
+        monkeypatch.delenv("DGL_TPU_LOWERING", raising=False)
+        v0 = f(x, ed)
+        gx0, ge0 = jax.grad(f, argnums=(0, 1))(x, ed)
+        monkeypatch.setenv("DGL_TPU_LOWERING", "scatter")
+        v1 = f(x, ed)
+        gx1, ge1 = jax.grad(f, argnums=(0, 1))(x, ed)
+        monkeypatch.delenv("DGL_TPU_LOWERING")
+        np.testing.assert_allclose(v0, v1, rtol=2e-5, err_msg=f"{op}.{reduce}")
+        np.testing.assert_allclose(gx0, gx1, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"grad x {op}.{reduce}")
+        np.testing.assert_allclose(ge0, ge1, rtol=2e-4, atol=1e-4,
+                                   err_msg=f"grad e {op}.{reduce}")

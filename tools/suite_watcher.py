@@ -36,7 +36,7 @@ ROW_ORDER = [
     "products_sage", "ppa_gcn", "cluster_sage_products", "cluster_gat_products",
     "arxiv_gat", "arxiv_sage", "pubmed_gat", "reddit_gat",
     "cluster_lp_arxiv", "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
-    "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256",
+    "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256", "molhiv_gcn_scatter",
     "cora_sage", "pubmed_sage", "cora_gat", "reddit_sage",
     "proteins_rgcn", "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
 ]
