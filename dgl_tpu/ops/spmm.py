@@ -368,6 +368,59 @@ def _echunk_restack(ge_chunks, g: Graph, pad: int, e_shape):
     return jnp.swapaxes(ge, 0, 1).reshape((g.num_edges_padded,) + e_shape[1:])
 
 
+def _copyu_echunk_sum(g: Graph, x, k: int):
+    """Edge-chunked copy_u SUM: lax.scan over canonical edge chunks — each
+    chunk gathers (C, D) rows and adds a sorted segment sum (canonical
+    order is dst-sorted, so every chunk is internally sorted). ONE pass
+    over the E rows total; the feature-chunked alternative pays the
+    per-row gather wall once per feature slice (ogbn-products at hidden 64
+    under a 1GB budget = 32 row-wall passes per SpMM — tens of seconds)."""
+    E = g.num_edges_padded
+    C = -(-E // k)
+    pad = k * C - E
+    s = jnp.concatenate([g.src, jnp.full((pad,), g.num_src_nodes, g.src.dtype)])
+    d = jnp.concatenate([g.dst, jnp.full((pad,), g.num_dst_nodes, g.dst.dtype)])
+    acc0 = jnp.zeros((g.num_dst_nodes,) + x.shape[1:], jnp.promote_types(x.dtype, jnp.float32))
+
+    def body(acc, inp):
+        sc, dc = inp
+        msg = jnp.take(x, jnp.minimum(sc, g.num_src_nodes - 1), axis=0)
+        # sentinel dst == num_dst_nodes is out of range → dropped
+        return acc + segment_sum(msg.astype(acc.dtype), dc, g.num_dst_nodes,
+                                 sorted=True), None
+
+    out, _ = jax.lax.scan(body, acc0, (s.reshape(k, C), d.reshape(k, C)))
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_copyu_echunk(reduce: str, k: int, g: Graph, x):
+    out = _copyu_echunk_sum(g, x, k)
+    if reduce == "mean":
+        out = out * _inv_deg(g, out.dtype)[:, None]
+    return out.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
+def _spmm_copyu_echunk_fwd(reduce, k, g, x):
+    return _spmm_copyu_echunk(reduce, k, g, x), (g, jnp.zeros((0,), x.dtype))
+
+
+def _spmm_copyu_echunk_bwd(reduce, k, res, g_out):
+    # adjoint of copy_u-sum is the SAME edge-chunked pass over the
+    # transpose graph (reverse canonical order is sorted by original src)
+    g, dtype_token = res
+    if reduce == "mean":
+        g_out = g_out * _inv_deg(g, g_out.dtype)[:, None]
+    grad_x = _copyu_echunk_sum(g.reverse, g_out, k)
+    grad_g = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), g
+    )
+    return grad_g, grad_x.astype(dtype_token.dtype)
+
+
+_spmm_copyu_echunk.defvjp(_spmm_copyu_echunk_fwd, _spmm_copyu_echunk_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _spmm_xe_echunk(op: str, reduce: str, k: int, g: Graph, x, e):
     srcs, dsts, es, _ = _echunk_arrays(g, e, k)
@@ -603,22 +656,27 @@ def gspmm(
         and x is not None
         and x.ndim == 2
     ):
-        # copy_u is column-independent, so bound the (E_pad, D) message/scan
-        # intermediate by chunking features (ogbn-products at hidden 64 would
-        # otherwise materialize 16GB and OOM the 16GB chip — the fused-kernel
-        # memory property DGL gets natively, recovered by blocking).
+        # copy_u messages that exceed the budget are EDGE-chunked: the scan
+        # gathers every edge row exactly once (live set E/k × D both
+        # directions via the reverse-graph adjoint). The earlier
+        # feature-chunked formulation paid the per-row gather wall once per
+        # feature slice — ogbn-products at hidden 64 under a 1GB budget was
+        # 32 row-wall passes per SpMM, tens of seconds on a pass the fused
+        # DGL kernel does in one sweep.
         budget = float(os.environ.get("DGL_TPU_MSG_BUDGET_GB", "4")) * (1 << 30)
         d = x.shape[1]
         bytes_full = g.num_edges_padded * d * x.dtype.itemsize
         if bytes_full > budget and d > 1:
+            if not exact and g.reverse is not None:
+                k = int(-(-bytes_full // (budget / 2)))
+                return _spmm_copyu_echunk(reduce, k, g, x)
+            # exact callers (one-time precomputes) keep the bitwise-stable
+            # feature-sliced formulation: k_f sequential row passes, each a
+            # full sorted scatter (slow — but cached, and never in a step)
             chunk = max(1, int(d * budget / bytes_full))
             n_chunks = -(-d // chunk)
             d_pad = n_chunks * chunk
             xp = jnp.pad(x, ((0, 0), (0, d_pad - d)))
-            # (n_chunks, N, chunk) — lax.map executes chunks SEQUENTIALLY, so
-            # only one (E, chunk) intermediate is live at a time (a plain
-            # unrolled loop lets XLA schedule all chunks concurrently and
-            # OOMs exactly like the unchunked op)
             xstack = jnp.moveaxis(xp.reshape(x.shape[0], n_chunks, chunk), 1, 0)
             zero_e = jnp.zeros((), x.dtype)
             outs = jax.lax.map(

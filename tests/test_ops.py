@@ -421,3 +421,35 @@ def test_scatter_lowering_matches_fused(rng, monkeypatch):
                                    err_msg=f"grad x {op}.{reduce}")
         np.testing.assert_allclose(ge0, ge1, rtol=2e-4, atol=1e-4,
                                    err_msg=f"grad e {op}.{reduce}")
+
+
+def test_copyu_edge_chunked_matches_exact(rng, monkeypatch):
+    """Edge-chunked wide copy_u (the big-graph path: one row pass total,
+    live set E/k x D) must match the unchunked op in values and grads —
+    including through gspmm's budget-based dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    import dgl_tpu
+    from dgl_tpu.ops import gspmm
+    from dgl_tpu.ops.spmm import _spmm_copyu_echunk
+
+    n, e = 150, 1100
+    g = dgl_tpu.from_edges(rng.integers(0, n, e), rng.integers(0, n, e), n)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+
+    for reduce in ("sum", "mean"):
+        ref = gspmm(g, "copy_u", reduce, x=x, exact=True)
+        out = _spmm_copyu_echunk(reduce, 5, g, x)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        gref = jax.grad(lambda x: jnp.sum(gspmm(g, "copy_u", reduce, x=x) ** 2))(x)
+        gout = jax.grad(lambda x: jnp.sum(_spmm_copyu_echunk(reduce, 5, g, x) ** 2))(x)
+        np.testing.assert_allclose(gout, gref, rtol=1e-4, atol=1e-4)
+
+    # dispatch: a tiny budget must route through the edge-chunked path and
+    # still match
+    monkeypatch.setenv("DGL_TPU_MSG_BUDGET_GB", "0.00001")
+    out2 = gspmm(g, "copy_u", "mean", x=x)
+    monkeypatch.delenv("DGL_TPU_MSG_BUDGET_GB")
+    np.testing.assert_allclose(out2, gspmm(g, "copy_u", "mean", x=x, exact=True),
+                               rtol=1e-5, atol=1e-5)
