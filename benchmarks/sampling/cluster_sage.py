@@ -72,10 +72,25 @@ def main():
         args.psize, args.batch_size, method=args.part_method,
         seed=args.seed, cache_dir=data_root(),
     )
-    g_full = dgl_tpu.from_edges(data.src, data.dst, data.num_nodes)
-    x_full = jnp.asarray(data.features)
-    y_full = jnp.asarray(data.labels)
-    masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
+    # the full graph serves only full-graph eval / --save-pred (reference
+    # evaluates on the whole graph, main.py:91-97); the timing pass skips
+    # its ~2 min host build + device upload at products scale entirely.
+    # Disk-cached (graph/cache.py) like the node drivers.
+    g_full = x_full = y_full = masks = None
+    if args.eval or args.save_pred:
+        from dgl_tpu.graph.cache import cached_graph
+
+        g_full, _ = cached_graph(
+            lambda: (dgl_tpu.from_edges(data.src, data.dst, data.num_nodes,
+                                        device=False), {}),
+            data_root() if len(data.src) >= 4_000_000 else None,
+            f"{args.dataset}_s{args.scale}_sd{args.seed}_b0l0r0",
+        )
+        if not isinstance(g_full.src, jnp.ndarray):
+            g_full = jax.tree_util.tree_map(jnp.asarray, g_full)
+        x_full = jnp.asarray(data.features)
+        y_full = jnp.asarray(data.labels)
+        masks = {k: jnp.asarray(getattr(data, f"{k}_mask")) for k in ("train", "val", "test")}
 
     if args.model == "sage":
         model = GraphSAGE(

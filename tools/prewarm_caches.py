@@ -24,10 +24,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
+
 import dgl_tpu  # noqa: E402
+from common import prepare_full_graph  # noqa: E402
 from dgl_tpu.data.loaders import data_root, load_node_dataset  # noqa: E402
-from dgl_tpu.graph import transforms  # noqa: E402
-from dgl_tpu.graph.reorder import apply_order, locality_order  # noqa: E402
 from dgl_tpu.kernels import attach_lane_plans  # noqa: E402
 
 # (dataset, bidirect, self_loops, order/plan cache key) — one row per
@@ -38,25 +40,33 @@ TARGETS = [
     ("ogbn-arxiv", True, False, "ogbn-arxiv_s1.0"),
     ("reddit", False, True, "reddit_s1.0_gat"),    # main_gat --lane-kernel
     ("ogbn-arxiv", True, True, "ogbn-arxiv_s1.0_gat"),
+    ("ogbn-proteins", False, False, "proteins_s1.0_rgcn"),  # main_rgcn --lane-kernel
+    ("ogbn-products", True, False, "ogbn-products_s1.0"),  # main_sage --lane-kernel (bidirect)
 ]
 
 
 def main():
+    only = sys.argv[1:] or None
     for dataset, bidirect, self_loops, key in TARGETS:
+        if only and not any(o in key for o in only):
+            continue
         t0 = time.time()
         data = load_node_dataset(dataset, seed=0, scale=1.0)
-        src, dst = data.src, data.dst
-        if bidirect:
-            src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
-        order = locality_order(src, dst, data.num_nodes, seed=0,
-                               cache_dir=data_root(), cache_key=key)
-        src, dst, _ = apply_order(order, src, dst)
-        if self_loops:
-            src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
-        g = dgl_tpu.from_edges(src, dst, data.num_nodes)
+        # identical pipeline + cache keys as the drivers (prepare_full_graph
+        # also warms the canonical-graph disk cache the drivers now read)
+        g, *_ = prepare_full_graph(
+            dataset, data, scale=1.0, seed=0, bidirect=bidirect,
+            self_loops=self_loops, reorder=True, order_key=key,
+        )
         g = attach_lane_plans(g, cache_dir=data_root(), cache_key=key)
         lane = "attached" if g.lane is not None else "skipped (too sparse)"
-        print(f"{key}: E={len(src)} lane={lane} [{time.time() - t0:.0f}s]",
+        if g.lane is not None and dataset == "ogbn-proteins":
+            from dgl_tpu.ops.rel_lane import RelLaneWeights
+            import numpy as np
+            import jax.numpy as jnp
+            RelLaneWeights.build(g, np.asarray(
+                g.permute_edata(jnp.asarray(data.edge_feat))))
+        print(f"{key}: E={g.num_edges} lane={lane} [{time.time() - t0:.0f}s]",
               flush=True)
 
 
