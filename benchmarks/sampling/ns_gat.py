@@ -114,14 +114,14 @@ def main():
                 {"params": pp}, blocks, batch_x, deterministic=False,
                 rngs={"dropout": key},
             )
-            return masked_softmax_ce(logits, batch_y, seed_mask)
+            return masked_softmax_ce(logits, batch_y, seed_mask), logits
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt = tx.update(grads, opt, params)
-        acc = masked_accuracy(
-            model.apply({"params": params}, blocks, batch_x, deterministic=True),
-            batch_y, seed_mask,
-        )
+        # train acc from the TRAINING forward's predictions (reference
+        # ns-sage-dgl.py:166-169 compute_acc(batch_pred, ...) — a second
+        # deterministic forward per step doubled the NS step cost)
+        acc = masked_accuracy(logits, batch_y, seed_mask)
         return optax.apply_updates(params, updates), opt, loss, acc
 
     @jax.jit
