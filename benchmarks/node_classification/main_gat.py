@@ -10,6 +10,7 @@ arxiv — heads [4,4,4], bidirected + self-loops, tuned hyperparams
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -58,6 +59,11 @@ def main():
     parser.add_argument("--eval", action="store_true",
                         help="If not set, we will only do the training part.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lowering", choices=("fused", "scatter"),
+                        default="fused",
+                        help="message-passing lowering: fused custom-VJP "
+                             "sorted reductions (DGL-style) vs explicit "
+                             "gather + plain segment op (PyG-twin, N10)")
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
     parser.add_argument("--lane-kernel", action="store_true",
@@ -80,6 +86,8 @@ def main():
             cfg[key] = v
     heads = tuple(cfg["heads"][: args.num_layers])
     print(args)
+    if args.lowering == "scatter":
+        os.environ["DGL_TPU_LOWERING"] = "scatter"
 
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
     print_data_stats(data)

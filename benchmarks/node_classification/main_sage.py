@@ -183,6 +183,11 @@ def main():
     parser.add_argument("--no-precompute", action="store_true",
                         help="disable hoisting the (training-constant) layer-1 "
                              "neighbor aggregation out of the step")
+    parser.add_argument("--lowering", choices=("fused", "scatter"),
+                        default="fused",
+                        help="message-passing lowering: fused custom-VJP "
+                             "sorted reductions (DGL-style) vs explicit "
+                             "gather + plain segment op (PyG-twin, N10)")
     parser.add_argument("--scale", type=float, default=1.0,
                         help="shrink factor for synthetic fallback data (smoke tests)")
     parser.add_argument("--shard", type=int, default=0,
@@ -199,6 +204,8 @@ def main():
         if v is not None:
             cfg[key] = v
     print(args)
+    if args.lowering == "scatter":
+        os.environ["DGL_TPU_LOWERING"] = "scatter"
 
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
     print_data_stats(data)
