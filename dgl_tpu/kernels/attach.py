@@ -309,7 +309,14 @@ def attach_lane_plans(
     # factor credits the fused attention path, which replaces ~2-3 row
     # passes per lane pass. Counting-only (O(#pairs)); runs before the
     # cache so a stale profitable-looking cache can't resurrect a loser.
-    if dense_threshold is None and window is None:
+    # DGL_TPU_LANE_FORCE_ATTACH bypasses the 2x gate: the gate prices the
+    # row path at ONE row op per edge, but a full copy_u SpMM pass pays
+    # gather + scatter (~2 row ops) — for SAGE-shaped workloads on huge
+    # dense graphs (products: modeled lane 596 ms vs single-op row 921 ms)
+    # the lane path wins the real comparison while failing the gate. The
+    # per-op runtime profitability check (lane_profitable) still applies.
+    force = bool(os.environ.get("DGL_TPU_LANE_FORCE_ATTACH"))
+    if dense_threshold is None and window is None and not force:
         _, _, stats = choose_plan_config(src_np, dst_np)
         all_row_ns = max(len(src_np), 1) * _REM_NS
         if stats["cost_ns"] > all_row_ns / 2.0:
