@@ -154,6 +154,25 @@ class GATConv(nn.Module):
         att_l = self.param("attn_l", xavier_uniform(), (1, H, D))
         att_r = self.param("attn_r", xavier_uniform(), (1, H, D))
 
+        if g.block_fanout is not None:
+            # positional sampled block (edge (i,j): src slot num_dst+i·f+j):
+            # attention is a pure reshape — per-dst softmax over the f
+            # sampled neighbors, weighted sum via einsum. Zero gathers,
+            # zero segment ops (the NS-GAT hot path; mirrors the copy_u
+            # reshape-reduce fast path in ops/spmm.py).
+            f = g.block_fanout
+            nd = g.num_dst_nodes
+            z_n = z_src[nd: nd + nd * f].reshape(nd, f, H, D)
+            er_n = jnp.sum(z_n * att_r, axis=-1)           # (nd, f, H)
+            el = jnp.sum(z_dst[:nd] * att_l, axis=-1)      # (nd, H)
+            logits = nn.leaky_relu(er_n + el[:, None, :], self.negative_slope)
+            alpha = jax.nn.softmax(logits, axis=1)
+            if self.attn_drop > 0.0:
+                alpha = nn.Dropout(self.attn_drop,
+                                   deterministic=deterministic)(alpha)
+            out = jnp.einsum("nfh,nfhd->nhd", alpha, z_n)
+            return self._epilogue(g, out, x_dst, H, D)
+
         lane_out = self._lane_attention(
             g, x_src, lin, z_src, z_dst, att_l, att_r, deterministic
         )

@@ -343,7 +343,7 @@ def test_gat_conv_lane_path_matches_xla_path(rng, monkeypatch):
     params = conv.init(jax.random.PRNGKey(0), g_plain, x)
 
     def loss(p, g):
-        return jnp.sum(conv.apply(p, g, x) ** 2)
+        return jnp.sum(conv.apply(p, g, feat) ** 2)
 
     l_plain, g_plain_grads = jax.value_and_grad(loss)(params, g_plain)
     monkeypatch.setenv("DGL_TPU_LANE_INTERPRET", "1")
@@ -379,3 +379,44 @@ def test_gatconv_memory_safe_path_matches(rng, monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_gat_block_positional_matches_generic(rng):
+    """GATConv's positional fanout-block path (reshape softmax + einsum)
+    must match the generic edge-softmax path on the same block."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import dgl_tpu
+    from dgl_tpu.nn import GATConv
+
+    nd, f, d_in = 6, 3, 10
+    n_src = nd + nd * f
+    src = nd + np.arange(nd * f)
+    dst = np.repeat(np.arange(nd), f)
+    g_pos = dataclasses.replace(
+        dgl_tpu.from_edges(src, dst, n_src, num_dst_nodes=nd),
+        block_fanout=f)
+    g_gen = dgl_tpu.from_edges(src, dst, n_src, num_dst_nodes=nd)
+
+    x = jnp.asarray(rng.standard_normal((n_src, d_in)).astype(np.float32))
+    feat = (x, x[:nd])  # block convention (models/gat.py: (h, h[:num_dst]))
+    conv = GATConv(out_feats=5, num_heads=4)
+    params = conv.init(jax.random.PRNGKey(0), g_gen, feat)
+    out_gen = conv.apply(params, g_gen, feat)
+    out_pos = conv.apply(params, g_pos, feat)
+    assert out_pos.shape == (nd, 4, 5)
+    np.testing.assert_allclose(np.asarray(out_pos), np.asarray(out_gen),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(p, g):
+        return jnp.sum(conv.apply(p, g, feat) ** 2)
+
+    g1 = jax.grad(loss)(params, g_gen)
+    g2 = jax.grad(loss)(params, g_pos)
+    for k in ("attn_l", "attn_r"):
+        np.testing.assert_allclose(
+            np.asarray(g2["params"][k]), np.asarray(g1["params"][k]),
+            rtol=1e-4, atol=1e-4)
