@@ -193,10 +193,17 @@ class BoundarySharded:
 
 
 def shard_fullgraph_boundary(
-    src: np.ndarray, dst: np.ndarray, num_nodes: int, num_shards: int
-) -> Tuple["BoundarySharded", int]:
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, num_shards: int,
+    return_eids: bool = False,
+):
     """Host-side build of the boundary-exchange plan. Returns
-    (plan, n_pad); node arrays must be padded to n_pad rows."""
+    (plan, n_pad); node arrays must be padded to n_pad rows.
+
+    ``return_eids=True`` additionally returns ``(local_eids, halo_eids)`` —
+    per-shard lists of ORIGINAL edge indices in the plan's dst-sorted
+    local/halo order, for laying out per-edge data (e.g. RGCN relation
+    weights) alongside ``local_src``/``halo_remap``.
+    """
     from ..csrc import native
 
     k = num_shards
@@ -207,16 +214,17 @@ def shard_fullgraph_boundary(
 
     per_local_src, per_local_indptr = [], []
     per_halo_src, per_halo_indptr = [], []
+    local_eids, halo_eids = [], []
     needed = []  # list of (k,) lists of owner-local requested rows
     for s_i in range(k):
         m = shard_of == s_i
         loc = m & (src_shard == s_i)
         hal = m & (src_shard != s_i)
-        lp, ls, _ = native.build_csr(
+        lp, ls, lord = native.build_csr(
             np.asarray(dst[loc] - s_i * nps, np.int64),
             np.asarray(src[loc] - s_i * nps, np.int64), nps,
         )
-        hp, hs, _ = native.build_csr(
+        hp, hs, hord = native.build_csr(
             np.asarray(dst[hal] - s_i * nps, np.int64),
             np.asarray(src[hal], np.int64), nps,
         )
@@ -224,6 +232,9 @@ def shard_fullgraph_boundary(
         per_local_indptr.append(lp)
         per_halo_src.append(hs)
         per_halo_indptr.append(hp)
+        if return_eids:
+            local_eids.append(np.where(loc)[0][lord])
+            halo_eids.append(np.where(hal)[0][hord])
         uniq = np.unique(hs) if len(hs) else np.zeros(0, np.int64)
         owners = uniq // nps
         needed.append([uniq[owners == o] - o * nps for o in range(k)])
@@ -248,20 +259,96 @@ def shard_fullgraph_boundary(
         local_indptr[s_i] = per_local_indptr[s_i]
         halo_remap[s_i, : len(per_halo_src[s_i])] = lookup[per_halo_src[s_i]]
         halo_indptr[s_i] = per_halo_indptr[s_i]
-    return (
-        BoundarySharded(
-            local_src=jnp.asarray(local_src),
-            local_indptr=jnp.asarray(local_indptr),
-            halo_remap=jnp.asarray(halo_remap),
-            halo_indptr=jnp.asarray(halo_indptr),
-            send_tab=jnp.asarray(send_tab),
-            num_nodes=num_nodes,
-            nodes_per_shard=nps,
-            num_shards=k,
-            rows_per_pair=H,
-        ),
-        n_pad,
+    bs = BoundarySharded(
+        local_src=jnp.asarray(local_src),
+        local_indptr=jnp.asarray(local_indptr),
+        halo_remap=jnp.asarray(halo_remap),
+        halo_indptr=jnp.asarray(halo_indptr),
+        send_tab=jnp.asarray(send_tab),
+        num_nodes=num_nodes,
+        nodes_per_shard=nps,
+        num_shards=k,
+        rows_per_pair=H,
     )
+    if return_eids:
+        return bs, n_pad, local_eids, halo_eids
+    return bs, n_pad
+
+
+def plan_layout_edata_boundary(
+    bs: "BoundarySharded", local_eids, halo_eids, edata: np.ndarray, fill=0.0
+):
+    """Per-edge data (input edge order) → the plan's (k, E_loc, ...) /
+    (k, E_hal, ...) layouts (padding slots get ``fill``). Use with
+    ``shard_fullgraph_boundary(..., return_eids=True)``."""
+    edata = np.asarray(edata)
+    k = bs.num_shards
+    e_loc = bs.local_src.shape[1]
+    e_hal = bs.halo_remap.shape[1]
+    tail = edata.shape[1:]
+    w_loc = np.full((k, e_loc) + tail, fill, edata.dtype)
+    w_hal = np.full((k, e_hal) + tail, fill, edata.dtype)
+    for s_i in range(k):
+        w_loc[s_i, : len(local_eids[s_i])] = edata[local_eids[s_i]]
+        w_hal[s_i, : len(halo_eids[s_i])] = edata[halo_eids[s_i]]
+    return jnp.asarray(w_loc), jnp.asarray(w_hal)
+
+
+def halo_rgcn_boundary(
+    bs: "BoundarySharded",
+    y: jnp.ndarray,        # (n_pad, R·D) per-relation projections, P(axis)
+    w_local: jnp.ndarray,  # (k, E_loc, R) plan-layout relation weights
+    w_halo: jnp.ndarray,   # (k, E_hal, R)
+    n_rel: int,
+    mesh: Mesh,
+    axis: str = "graph",
+    reduce: str = "mean",
+) -> jnp.ndarray:
+    """Relation-contracted SpMM across shard boundaries (sharded
+    ``ops.spmm.gspmm_rel`` — RGCN layer semantics,
+    ``main_dgl_proteins_rgcn_for.py:46-60``): per edge,
+    ``Σ_r w[e,r] · y[src, r·D:(r+1)·D]``, mean-reduced by dst. The flat
+    (R·D)-wide projection rides the SAME boundary all_to_all as copy_u —
+    R× the exchange volume, still ∝ boundary size, not N."""
+    H = bs.rows_per_pair
+    dd = y.shape[1] // n_rel
+
+    def contract(rows, w):
+        # rows: (E, R·D) gathered projections; w: (E, R)
+        return sum(
+            rows[:, r * dd:(r + 1) * dd] * w[:, r][:, None].astype(rows.dtype)
+            for r in range(n_rel)
+        )
+
+    def local(lsrc_s, lptr_s, hmap_s, hptr_s, send_s, wl_s, wh_s, y_s):
+        send_l = send_s[0]
+        payload = jnp.take(y_s, send_l.reshape(-1), axis=0).reshape(
+            bs.num_shards, H, y_s.shape[1]
+        )
+        recv = jax.lax.all_to_all(payload, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        from ..ops.segment import segment_sum_sorted_scan
+
+        # local edges overlap with the exchange (no data dependence)
+        msg_l = contract(jnp.take(y_s, lsrc_s[0], axis=0), wl_s[0])
+        out = segment_sum_sorted_scan(msg_l, lptr_s[0])
+        halo_rows = jnp.take(
+            recv.reshape(bs.num_shards * H, y_s.shape[1]), hmap_s[0], axis=0
+        )
+        out = out + segment_sum_sorted_scan(contract(halo_rows, wh_s[0]), hptr_s[0])
+        if reduce == "mean":
+            deg = (lptr_s[0][1:] - lptr_s[0][:-1]) + (hptr_s[0][1:] - hptr_s[0][:-1])
+            out = out / jnp.maximum(deg, 1).astype(out.dtype)[:, None]
+        return out
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 8,
+        out_specs=P(axis),
+        check_rep=False,
+    )(bs.local_src, bs.local_indptr, bs.halo_remap, bs.halo_indptr,
+      bs.send_tab, w_local, w_halo, y)
 
 
 def halo_spmm_boundary(

@@ -158,3 +158,47 @@ def exchange_stats(bs: BoundarySharded, d: int, itemsize: int = 4) -> dict:
         "allgather_bytes_per_device": allgather,
         "volume_ratio": boundary / max(allgather, 1),
     }
+
+
+def halo_rgcn_init(key, in_feats: int, hidden_feats: int, out_feats: int,
+                   num_relations: int, num_layers: int = 3):
+    """Kaiming-initialized parameters for the sharded RGCN stack (mirrors
+    ``nn.conv.RelGraphConv``: per-relation projections + dense skip)."""
+    dims = [in_feats] + [hidden_feats] * (num_layers - 1) + [out_feats]
+    params = []
+    for i in range(num_layers):
+        key, k1, k2 = jax.random.split(key, 3)
+        fan_in, fan_out = dims[i], dims[i + 1]
+        s = float(np.sqrt(6.0 / fan_in))  # kaiming_uniform(a=sqrt(5)) scale
+        params.append({
+            "w_rel": jax.random.uniform(
+                k1, (num_relations, fan_in, fan_out), jnp.float32, -s, s),
+            "w_skip": jax.random.uniform(
+                k2, (fan_in, fan_out), jnp.float32, -s, s),
+            "bias": jnp.zeros((fan_out,), jnp.float32),
+        })
+    return params
+
+
+def halo_rgcn_apply(params, bs: BoundarySharded, x, w_local, w_halo,
+                    num_relations: int, mesh, axis: str = "graph"):
+    """Sharded RGCN forward (reference N8 semantics,
+    ``main_dgl_proteins_rgcn_for.py:46-60``): per layer, project into the
+    flat (R·D) per-relation stack (sharded MXU batch matmul), one boundary
+    exchange + relation-contracted aggregation, plus the dense skip term.
+    ``w_local``/``w_halo`` are the plan-layout relation weights from
+    :func:`dgl_tpu.parallel.plan_layout_edata_boundary` (dataset constants
+    for proteins)."""
+    from .halo import halo_rgcn_boundary
+
+    h = x
+    for i, layer in enumerate(params):
+        n, _ = h.shape
+        r, _, d = layer["w_rel"].shape
+        y = jnp.einsum("nd,rdo->nro", h, layer["w_rel"]).reshape(n, r * d)
+        agg = halo_rgcn_boundary(bs, y, w_local, w_halo, num_relations,
+                                 mesh, axis=axis, reduce="mean")
+        h = agg + h @ layer["w_skip"] + layer["bias"]
+        if i < len(params) - 1:
+            h = jax.nn.relu(h)
+    return h
