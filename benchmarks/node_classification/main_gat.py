@@ -45,6 +45,99 @@ DATASET_CFG = {
 }
 
 
+def run_sharded(args, cfg, heads, data):
+    """Edge-partitioned full-graph GAT: boundary-halo exchange with
+    edge-softmax across shard boundaries (``dgl_tpu.parallel.halo``,
+    pattern of ``main_sage.py:run_sharded``)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dgl_tpu.graph import transforms
+    from dgl_tpu.graph.partition import partition_assignment
+    from dgl_tpu.parallel import (
+        device_mesh,
+        halo_gat_apply,
+        halo_gat_init,
+        make_halo_gat_train_step,
+        shard_fullgraph_boundary,
+    )
+
+    k = args.shard if args.shard > 0 else len(jax.devices())
+    src, dst = data.src, data.dst
+    if cfg["bidirect"]:
+        src, dst = transforms.to_bidirected(src, dst, data.num_nodes)
+    src, dst = transforms.add_self_loops(src, dst, data.num_nodes)
+
+    part = partition_assignment(src, dst, data.num_nodes, k, seed=args.seed)
+    order = np.argsort(part, kind="stable")
+    new_id = np.empty(data.num_nodes, np.int64)
+    new_id[order] = np.arange(data.num_nodes)
+    src, dst = new_id[src], new_id[dst]
+
+    bs, n_pad = shard_fullgraph_boundary(src, dst, data.num_nodes, k)
+    mesh = device_mesh((1, k), ("data", "graph"), devices=jax.devices()[:k])
+    row = NamedSharding(mesh, P("graph"))
+    rep = NamedSharding(mesh, P())
+
+    def pad_rows(a, fill=0):
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[: data.num_nodes] = a[order]
+        return out
+
+    x = jax.device_put(jnp.asarray(pad_rows(data.features)), row)
+    y = jax.device_put(jnp.asarray(pad_rows(data.labels)), row)
+    masks = {
+        m: jax.device_put(jnp.asarray(pad_rows(getattr(data, f"{m}_mask"))), row)
+        for m in ("train", "val", "test")
+    }
+    bs = jax.device_put(bs, jax.tree_util.tree_map(lambda _: row, bs))
+
+    tx = adam_l2(cfg["lr"], cfg["wd"])
+    train_step = make_halo_gat_train_step(mesh, tx, heads)
+
+    @jax.jit
+    def eval_step(params, bs, x, y, masks):
+        logits = halo_gat_apply(params, bs, x, mesh, heads=heads)
+        pred = jnp.argmax(logits, axis=1)
+        out = []
+        for m in ("train", "val", "test"):
+            mm = masks[m].astype(jnp.float32)
+            out.append(jnp.sum((pred == y) * mm) / jnp.maximum(jnp.sum(mm), 1.0))
+        return tuple(out)
+
+    logger = Logger(args.runs)
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        params = jax.device_put(
+            halo_gat_init(key, data.features.shape[1], cfg["hidden"],
+                          data.num_classes, heads=heads),
+            rep,
+        )
+        opt_state = jax.device_put(tx.init(params), rep)
+        for epoch in range(cfg["epochs"]):
+            if epoch >= 3:
+                t0 = time.time()
+            params, opt_state, loss = train_step(params, opt_state, bs, x, y,
+                                                 masks["train"])
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if args.eval:
+                accs = tuple(map(float, eval_step(params, bs, x, y, masks)))
+                logger.add_result(run, accs)
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss, *accs
+                    )
+                )
+        if args.eval:
+            logger.print_statistics(run)
+    if args.eval:
+        logger.print_statistics()
+
+
 def main():
     parser = argparse.ArgumentParser(description="GAT (dgl_tpu)")
     parser.add_argument("--dataset", type=str, default="cora", choices=sorted(DATASET_CFG))
@@ -72,6 +165,11 @@ def main():
                              "logit/softmax/dropout/aggregate pipeline into one "
                              "kernel pass per direction (auto-fallback to the "
                              "XLA path when the plan expands too much)")
+    parser.add_argument("--shard", type=int, default=0,
+                        help="edge-partitioned full-graph training over a "
+                             "device mesh: boundary-halo exchange with "
+                             "cross-shard edge-softmax (0 = off; -1 = all "
+                             "local devices; N = N-way)")
     parser.add_argument("--scan-epochs", type=int, default=1,
                         help="epochs per device dispatch via lax.scan (>1 "
                              "amortizes the per-dispatch tunnel latency that "
@@ -91,6 +189,10 @@ def main():
 
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
     print_data_stats(data)
+
+    if args.shard:
+        run_sharded(args, cfg, heads, data)
+        return
 
     # locality reorder (lane path): hub extraction + multilevel community
     # blocks maximize the lane plan's tile density (same order bench.py uses)

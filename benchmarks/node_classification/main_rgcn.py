@@ -31,6 +31,94 @@ import dgl_tpu  # noqa: E402
 from dgl_tpu.models import RGCN  # noqa: E402
 
 
+def run_sharded(args, data):
+    """Edge-partitioned full-graph RGCN: relation-contracted boundary-halo
+    exchange (``dgl_tpu.parallel.halo_rgcn_boundary``; pattern of
+    ``main_sage.py:run_sharded``). Eval = mean ROC-AUC over masked rows."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from common import mean_multilabel_auc
+    from dgl_tpu.graph.partition import partition_assignment
+    from dgl_tpu.parallel import (
+        device_mesh,
+        halo_rgcn_apply,
+        halo_rgcn_init,
+        make_halo_rgcn_train_step,
+        plan_layout_edata_boundary,
+        shard_fullgraph_boundary,
+    )
+
+    k = args.shard if args.shard > 0 else len(jax.devices())
+    src, dst = data.src, data.dst
+    n_rel = data.edge_feat.shape[1]
+
+    part = partition_assignment(src, dst, data.num_nodes, k, seed=args.seed)
+    order = np.argsort(part, kind="stable")
+    new_id = np.empty(data.num_nodes, np.int64)
+    new_id[order] = np.arange(data.num_nodes)
+    src, dst = new_id[src], new_id[dst]
+
+    bs, n_pad, leids, heids = shard_fullgraph_boundary(
+        src, dst, data.num_nodes, k, return_eids=True)
+    w_loc, w_hal = plan_layout_edata_boundary(bs, leids, heids, data.edge_feat)
+    mesh = device_mesh((1, k), ("data", "graph"), devices=jax.devices()[:k])
+    row = NamedSharding(mesh, P("graph"))
+    rep = NamedSharding(mesh, P())
+
+    def pad_rows(a, fill=0):
+        out = np.full((n_pad,) + a.shape[1:], fill, np.asarray(a).dtype)
+        out[: data.num_nodes] = np.asarray(a)[order]
+        return out
+
+    x = jax.device_put(jnp.ones((n_pad, 1), jnp.float32), row)
+    y = jax.device_put(jnp.asarray(pad_rows(data.labels.astype(np.float32))), row)
+    masks = {
+        m: jax.device_put(jnp.asarray(pad_rows(getattr(data, f"{m}_mask"))), row)
+        for m in ("train", "val", "test")
+    }
+    bs = jax.device_put(bs, jax.tree_util.tree_map(lambda _: row, bs))
+    w_loc, w_hal = jax.device_put(w_loc, row), jax.device_put(w_hal, row)
+
+    tx = optax.adam(args.lr)
+    train_step = make_halo_rgcn_train_step(mesh, tx, n_rel)
+
+    @jax.jit
+    def forward(params, bs, x, wl, wh):
+        return halo_rgcn_apply(params, bs, x, wl, wh, n_rel, mesh)
+
+    dur = []
+    for run in range(args.runs):
+        key = jax.random.PRNGKey(args.seed * 1000 + run)
+        params = jax.device_put(
+            halo_rgcn_init(key, 1, args.hidden_feats, data.labels.shape[1],
+                           n_rel, args.num_layers),
+            rep,
+        )
+        opt_state = jax.device_put(tx.init(params), rep)
+        for epoch in range(args.epochs):
+            if epoch >= 3:
+                t0 = time.time()
+            params, opt_state, loss = train_step(params, opt_state, bs, x,
+                                                 w_loc, w_hal, y, masks["train"])
+            loss = float(loss)
+            if epoch >= 3:
+                dur.append(time.time() - t0)
+                print("Training time/epoch {}".format(np.mean(dur)))
+            if args.eval and (epoch + 1) % args.eval_steps == 0:
+                scores = np.asarray(forward(params, bs, x, w_loc, w_hal))
+                aucs = []
+                for m in ("train", "val", "test"):
+                    mm = np.asarray(masks[m])
+                    aucs.append(mean_multilabel_auc(
+                        scores[mm], np.asarray(y)[mm]))
+                print(
+                    "Run {:02d} | Epoch {:05d} | Loss {:.4f} | Train {:.4f} | Val {:.4f} | Test {:.4f}".format(
+                        run, epoch, loss, *aucs
+                    )
+                )
+
+
 def main():
     parser = argparse.ArgumentParser(description="RGCN ogbn-proteins (dgl_tpu)")
     parser.add_argument("--device", type=int, default=0)
@@ -53,11 +141,19 @@ def main():
                         help="locality-reorder + lane plans; aggregation runs "
                              "as weighted lane passes (edge weights are "
                              "dataset constants on this path)")
+    parser.add_argument("--shard", type=int, default=0,
+                        help="edge-partitioned full-graph training over a "
+                             "device mesh: relation-contracted boundary-halo "
+                             "exchange (0 = off; -1 = all devices; N = N-way)")
     args = parser.parse_args()
     print(args)
 
     data = load_node_dataset("ogbn-proteins", seed=args.seed, scale=args.scale)
     print_data_stats(data)
+
+    if args.shard:
+        run_sharded(args, data)
+        return
 
     lane_weights = None
     ck = f"proteins_s{args.scale}_rgcn"

@@ -202,3 +202,48 @@ def halo_rgcn_apply(params, bs: BoundarySharded, x, w_local, w_halo,
         if i < len(params) - 1:
             h = jax.nn.relu(h)
     return h
+
+
+def make_halo_gat_train_step(mesh, tx, heads, axis: str = "graph",
+                             negative_slope: float = 0.2):
+    """jitted sharded-GAT train step (masked CE; conventions as
+    :func:`make_halo_train_step`)."""
+
+    def loss_fn(params, bs, x, y, mask):
+        logits = halo_gat_apply(params, bs, x, mesh, axis=axis, heads=heads,
+                                negative_slope=negative_slope)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        m = mask.astype(ce.dtype)
+        return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    @jax.jit
+    def train_step(params, opt_state, bs, x, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, bs, x, y, mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step
+
+
+def make_halo_rgcn_train_step(mesh, tx, num_relations: int,
+                              axis: str = "graph"):
+    """jitted sharded-RGCN train step — multilabel BCE-with-logits over
+    masked rows (proteins N8 semantics,
+    ``main_dgl_proteins_rgcn_for.py:101``)."""
+
+    def loss_fn(params, bs, x, wl, wh, y, mask):
+        logits = halo_rgcn_apply(params, bs, x, wl, wh, num_relations, mesh,
+                                 axis=axis)
+        ls = jax.nn.log_sigmoid
+        per = -(y * ls(logits) + (1.0 - y) * ls(-logits))  # (n, T)
+        m = mask.astype(per.dtype)
+        return jnp.sum(per.mean(axis=-1) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    @jax.jit
+    def train_step(params, opt_state, bs, x, wl, wh, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, bs, x, wl, wh, y, mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step
