@@ -53,6 +53,7 @@ blocks) — at K≥16 the run body is work-bound, not scalar-bound.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -115,10 +116,17 @@ def lane_profitable(plan: "LanePlan", d: int, itemsize: int = 2) -> bool:
     is modeled cheaper than the XLA row-gather path AND the feature-major
     operand fits the VMEM slab budget. Replaces the old hard D≤32 cap:
     break-even width scales with the plan's padding expansion (e.g.
-    expansion 1.22 → profitable up to D≈112 f32-equivalent)."""
+    expansion 1.22 → profitable up to D≈112 f32-equivalent).
+
+    ``DGL_TPU_REM_NS`` overrides the modeled row-path cost: the 10 ns
+    default is the conservative single-gather figure, but a full copy_u
+    SpMM pass pays gather + reduce (~2 row ops) — wide-feature break-evens
+    (arxiv SAGE at D=256) flip on this constant. Calibrate on-chip
+    (tools/r4_experiments.sh B) before changing the default."""
     if _choose_slab(int(d), plan.n_src_pad, itemsize) is None:
         return False
-    return plan.expansion * slot_ns(d, plan.window) < REM_NS
+    rem = float(os.environ.get("DGL_TPU_REM_NS", REM_NS))
+    return plan.expansion * slot_ns(d, plan.window) < rem
 
 
 @jax.tree_util.register_pytree_node_class

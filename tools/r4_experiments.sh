@@ -28,6 +28,8 @@ B)
       --dataset ogbn-arxiv --epochs 20 --runs 1 --scan-epochs 10 --lane-kernel
   T=900 run python benchmarks/node_classification/main_sage.py \
       --dataset ogbn-arxiv --epochs 20 --runs 1 --scan-epochs 10 --lane-kernel --bf16-messages
+  T=900 run env DGL_TPU_REM_NS=20 python benchmarks/node_classification/main_sage.py \
+      --dataset ogbn-arxiv --epochs 20 --runs 1 --scan-epochs 10 --lane-kernel
   ;;
 C)
   # proteins RGCN: rel_lane (plans prewarmed, expansion 1.31 remainder 0%)
