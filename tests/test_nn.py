@@ -343,7 +343,7 @@ def test_gat_conv_lane_path_matches_xla_path(rng, monkeypatch):
     params = conv.init(jax.random.PRNGKey(0), g_plain, x)
 
     def loss(p, g):
-        return jnp.sum(conv.apply(p, g, feat) ** 2)
+        return jnp.sum(conv.apply(p, g, x) ** 2)
 
     l_plain, g_plain_grads = jax.value_and_grad(loss)(params, g_plain)
     monkeypatch.setenv("DGL_TPU_LANE_INTERPRET", "1")

@@ -25,7 +25,7 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 RESULTS = os.environ.get(
-    "SUITE_RESULTS", os.path.join(REPO, "docs", "suite_r04", "results.json"))
+    "SUITE_RESULTS", os.path.join(REPO, "docs", "suite_r05", "results.json"))
 STATE = "/tmp/suite_watcher.state"
 LOG = "/tmp/suite_watcher.log"
 
@@ -51,8 +51,24 @@ ROW_ORDER = [
 # 2026-08-20: killed products_sage twice at the first float(loss) while the
 # dispatch-only probe kept reporting 0 ms). Every driver syncs through
 # float(loss), so a pool that can't read back is dark for our purposes.
+# Round-5 refinement: the pool charges ~60s for the FIRST readback of a
+# process when it lands after a queued dispatch burst, but only ~1.3s for an
+# immediate tiny fetch (measured 2026-08-20: tiny-first 1.3s then post-loop
+# 1.1s, vs no-warm first fetch 58s). That is a fixed per-process tax every
+# driver now prepays via warm_readback(), NOT a dark pool — so the probe
+# must warm the readback path first (untimed; the subprocess timeout still
+# catches the true-hang mode) and report only steady-state cost.
+# Emits two numbers:
+#   bulk_ms — worst of (dispatch/iter, amortized drain/iter, steady fetch):
+#             cost floor for rows whose epoch is one or two big dispatches
+#   step_ms — amortized cost of one QUEUED op when the work actually
+#             executes (drain/20) — the per-minibatch tax that poisons
+#             step-loop rows (GC batch loops, NS, gcmc, tiny full-graph)
+# 2026-08-20 degraded-tunnel mode measures bulk≈55 step≈52; the 08-18
+# healthy window measured dispatch 0.03ms → step well under 2.
 PROBE = (
     "import time; import jax, jax.numpy as jnp;"
+    "v0=float(jnp.asarray(1.0)+1.0);"
     "x=jnp.ones((1024,1024),jnp.bfloat16);"
     "f=jax.jit(lambda a:a@a); f(x).block_until_ready();"
     "t1=time.time();"
@@ -61,9 +77,12 @@ PROBE = (
     "r.block_until_ready();"
     "d=(time.time()-t1)*1000/20;"
     "t2=time.time();"
+    "drain=float(jnp.max(r.astype(jnp.float32)));"
+    "t_drain=(time.time()-t2)*1000;"
+    "t3=time.time();"
     "v=float(jnp.max(r.astype(jnp.float32)));"
-    "fetch=(time.time()-t2)*1000;"
-    "print('PROBE_MS', max(d, fetch))"
+    "fetch=(time.time()-t3)*1000;"
+    "print('PROBE_MS', max(d, t_drain/20, fetch), max(d, t_drain/20))"
 )
 
 
@@ -80,16 +99,17 @@ def set_state(s):
 
 
 def probe_ms(timeout=120):
-    """Second-dispatch matmul latency in ms, or None if dark/hung."""
+    """(bulk_ms, step_ms) steady-state costs, or (None, None) if dark/hung."""
     try:
         p = subprocess.run([sys.executable, "-c", PROBE],
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return None
+        return None, None
     for ln in p.stdout.splitlines():
         if ln.startswith("PROBE_MS"):
-            return float(ln.split()[1])
-    return None
+            parts = ln.split()
+            return float(parts[1]), float(parts[2])
+    return None, None
 
 
 def load_results():
@@ -146,6 +166,22 @@ ROW_TIMEOUT_OVERRIDE = {
     "cluster_sage_products": 3600, "cluster_gat_products": 3600,
 }
 
+# Rows whose published number is dominated by per-dispatch latency — tiny
+# full-graph epochs (one dispatch ≈ the whole epoch), minibatch step loops
+# (GC: ~514 steps/epoch on molhiv; NS: ~190; gcmc per-iter). Under the
+# degraded-tunnel mode (step ≈ 50ms vs 0.03ms healthy) these rows would
+# publish numbers 10-30x worse than the framework's, so they only run in a
+# truly healthy window; the bulk rows (multi-second epochs of a few big
+# dispatches) run whenever the pool is merely usable.
+STEP_SENSITIVE = {
+    "cora_sage", "pubmed_sage", "cora_gat", "pubmed_gat",
+    "arxiv_sage", "arxiv_gat", "reddit_sage",
+    "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
+    "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256", "molhiv_gcn_scatter",
+    "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit", "cluster_lp_arxiv",
+}
+STEP_HEALTHY_MS = float(os.environ.get("STEP_HEALTHY_MS", "2"))
+
 
 def row_done(row):
     """The done-predicate missing_rows() uses: ok status AND a timing."""
@@ -166,14 +202,26 @@ def main():
             log("all rows recorded or exhausted — done")
             set_state("done")
             return
-        ms = probe_ms()
-        if ms is None or ms > 25:
+        ms, step = probe_ms()
+        # 150ms: the degraded-tunnel mode steadies at ~55ms/iter (usable for
+        # bulk rows); the hang/6x modes measure far above or time out
+        if ms is None or ms > 150:
             set_state("waiting")
             log(f"pool dark/slow (probe={ms}); {len(todo)} rows queued")
             time.sleep(180)
             continue
-        name = min(todo, key=lambda r: (attempts.get(r, 0), ROW_ORDER.index(r)))
-        log(f"pool healthy (probe={ms:.0f}ms) -> running {name}")
+        if step > STEP_HEALTHY_MS:
+            eligible = [r for r in todo if r not in STEP_SENSITIVE]
+            if not eligible:
+                set_state("waiting")
+                log(f"pool usable-not-healthy (step={step:.1f}ms); only "
+                    f"step-sensitive rows remain ({len(todo)}) — waiting")
+                time.sleep(180)
+                continue
+        else:
+            eligible = todo
+        name = min(eligible, key=lambda r: (attempts.get(r, 0), ROW_ORDER.index(r)))
+        log(f"pool ok (bulk={ms:.0f}ms step={step:.1f}ms) -> running {name}")
         row = run_row(name, max(ROW_TIMEOUT_OVERRIDE.get(name, 0), row_timeout))
         # count the attempt against the SAME predicate missing_rows() uses —
         # an exit-0 row with no scraped timing must not be retried forever
@@ -186,6 +234,10 @@ def main():
             # results file (advisor r2): merge only rows that carry signal
             time.sleep(10)
             continue
+        # carry the pool state the row was measured under into the table —
+        # a reader can tell a degraded-window number from a healthy one
+        row["probe_ms"] = round(ms, 1)
+        row["probe_step_ms"] = round(step, 2)
         merge_row(row)
         log(f"{name}: {row.get('status')} time/epoch={row.get('time_per_epoch')} "
             f"test={row.get('final_test')} vs_v100={row.get('vs_dgl_v100')}")
