@@ -62,7 +62,8 @@ def main():
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "from dgl_tpu.train.timing import chip_health_ms;"
+                 "from dgl_tpu.train.timing import chip_health_ms, warm_readback;"
+                 "warm_readback();"
                  "print(chip_health_ms())"],
                 capture_output=True, text=True, timeout=timeout_s,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -82,6 +83,7 @@ def main():
         attempts = int(os.environ.get("DGL_TPU_BENCH_PROBE_ATTEMPTS", "10"))
         probe_t = float(os.environ.get("DGL_TPU_BENCH_PROBE_TIMEOUT", "120"))
         h = None
+        prev = None
         for attempt in range(attempts):
             h = _probe_health(probe_t)
             print(f"# chip health: 4k matmul "
@@ -89,6 +91,15 @@ def main():
                   file=sys.stderr)
             if h is not None and h < 10.0:
                 break
+            # two consecutive responsive-but-degraded probes: the tunnel is
+            # in its stable ~50ms-latency mode, not flapping — waiting
+            # longer just burns setup_s (299s in BENCH_r04), so measure now;
+            # reddit SAGE epochs are a few big dispatches and tolerate it
+            if h is not None and prev is not None and h < 500 and prev < 500:
+                print("# degraded-but-stable tunnel: measuring anyway",
+                      file=sys.stderr)
+                break
+            prev = h
             if attempt < attempts - 1:
                 time.sleep(60)
         if h is None:
@@ -119,6 +130,11 @@ def main():
     import dgl_tpu
     from dgl_tpu.data import load_node_dataset
     from dgl_tpu.graph.reorder import apply_order, locality_order
+    from dgl_tpu.train.timing import warm_readback
+
+    # prepay the tunnel's ~60s first-readback-after-burst tax while the
+    # process is still idle (timing.warm_readback)
+    warm_readback()
     from dgl_tpu.models import GraphSAGE
     from dgl_tpu.ops.spmm import gspmm_chunked
 

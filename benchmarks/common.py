@@ -29,6 +29,14 @@ if os.environ.get("DGL_TPU_PLATFORM"):
 
 from dgl_tpu.data import load_node_dataset  # noqa: E402
 from dgl_tpu.train import Logger  # noqa: E402
+from dgl_tpu.train.timing import warm_readback  # noqa: E402
+
+# Prepay the tunnel's first-readback tax NOW (~1.3s), before any queued
+# dispatch work — a first fetch that lands after epoch-1's burst costs ~60s
+# and is the pool's "readback hang" signature (timing.warm_readback).
+_warm_s = warm_readback()
+if _warm_s > 5:
+    print(f"(device readback warmup took {_warm_s:.1f}s)")
 
 
 def softmax_ce_int(logits, labels):
@@ -111,6 +119,32 @@ def print_data_stats(data):
         print("  (synthetic fallback data — structural stats matched to the real dataset)")
 
 
+def data_cache_suffix(data):
+    """Disk-cache key component tying cached derived artifacts (canonical
+    graph, x_agg, cluster g_full) to the *content* of the loaded dataset.
+
+    Synthetic fallbacks are structure-matched to the real dataset's exact
+    N/E (data/synthetic.py), so a key of name/scale/flags alone would let a
+    real-data run silently reuse a graph cached from a synthetic run (or a
+    stale real one) — shapes match, nothing errors, results are wrong
+    (ADVICE r4). Synthetic data keeps the legacy empty suffix (it is
+    deterministic per name/scale/seed, and prewarmed caches stay valid);
+    real data gets a fingerprint over the edge list.
+    """
+    if getattr(data, "synthetic", True):
+        return ""
+    import hashlib
+
+    src, dst = np.asarray(data.src), np.asarray(data.dst)
+    h = hashlib.sha1()
+    h.update(np.int64(data.num_nodes).tobytes())
+    h.update(np.int64(len(src)).tobytes())
+    stride = max(1, len(src) // 4096)
+    h.update(np.ascontiguousarray(src[::stride]).tobytes())
+    h.update(np.ascontiguousarray(dst[::stride]).tobytes())
+    return "_real" + h.hexdigest()[:10]
+
+
 def prepare_full_graph(
     name, data, *, scale=1.0, seed=0, bidirect=False, self_loops=False,
     reorder=False, order_key=None, cache_min_edges=4_000_000,
@@ -134,7 +168,7 @@ def prepare_full_graph(
     n = data.num_nodes
     cache = data_root() if len(src) >= cache_min_edges else None
     key = (f"{name}_s{scale}_sd{seed}_b{int(bidirect)}"
-           f"l{int(self_loops)}r{int(reorder)}")
+           f"l{int(self_loops)}r{int(reorder)}{data_cache_suffix(data)}")
 
     def build():
         s, d = (transforms.to_bidirected(src, dst, n) if bidirect

@@ -34,11 +34,11 @@ WORKLOADS = [
     ("cora_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
-     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "50"]}),
     ("pubmed_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "pubmed"]},
-     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "50"]}),
     # big rows cap --runs/--epochs below the reference's 10-run protocol to
     # bound wall-clock on the shared chip; the timing methodology (mean of
     # the per-epoch running timer, warmup skipped) is unchanged, and
@@ -66,11 +66,11 @@ WORKLOADS = [
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
-     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "50"]}),
     ("pubmed_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "pubmed", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "pubmed"]},
-     {"time_args": ["--runs", "1", "--scan-epochs", "25"]}),
+     {"time_args": ["--runs", "1", "--scan-epochs", "50"]}),
     ("reddit_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--runs", "1",
@@ -81,7 +81,7 @@ WORKLOADS = [
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "1",
                "--epochs", "120"]},
-     {"time_args": ["--runs", "1", "--epochs", "100"],
+     {"time_args": ["--runs", "1", "--epochs", "100", "--scan-epochs", "10"],
       "note": "epochs capped 250->120, runs 10->1"}),
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
@@ -92,31 +92,31 @@ WORKLOADS = [
     # the reference's published sweep (README.md:57-67)
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
-      "full": ["--dataset", "ENZYMES"]}),
+      "full": ["--dataset", "ENZYMES", "--scan-steps"]}),
     ("enzymes_gcn_b128", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
                 "--batch_size", "128"],
-      "full": ["--dataset", "ENZYMES", "--batch_size", "128", "--runs", "3"]},
+      "full": ["--dataset", "ENZYMES", "--batch_size", "128", "--runs", "3", "--scan-steps"]},
      {"note": "runs capped 10->3"}),
     ("enzymes_gcn_b256", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
                 "--batch_size", "256"],
-      "full": ["--dataset", "ENZYMES", "--batch_size", "256", "--runs", "3"]},
+      "full": ["--dataset", "ENZYMES", "--batch_size", "256", "--runs", "3", "--scan-steps"]},
      {"note": "runs capped 10->3"}),
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "1"]},
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--scan-steps"]},
      {"note": "runs capped 3->1"}),
     ("molhiv_gcn_b128", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64", "--batch_size", "128"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "128"]},
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "128", "--scan-steps"]},
      {"note": "runs capped 3->1"}),
     ("molhiv_gcn_b256", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64", "--batch_size", "256"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "256"]},
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--batch_size", "256", "--scan-steps"]},
      {"note": "runs capped 3->1"}),
     # the PyG-twin lowering on the reference's fused-vs-scatter case
     # (README.md:72: DGL loses ~10% to PyG on molhiv at ~1:1 node:edge);
@@ -124,27 +124,27 @@ WORKLOADS = [
     ("molhiv_gcn_scatter", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64", "--lowering", "scatter"],
-      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--lowering", "scatter"]},
+      "full": ["--dataset", "ogbg-molhiv", "--runs", "1", "--lowering", "scatter", "--scan-steps"]},
      {"note": "runs capped 3->1; PyG-twin scatter lowering"}),
     ("ppa_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-ppa", "--num-graphs", "300", "--epochs", "3",
                 "--runs", "1", "--hidden_size", "64"],
       "full": ["--dataset", "ogbg-ppa", "--epochs", "5", "--runs", "1",
-               "--num-graphs", "20000"]},
+               "--num-graphs", "20000", "--scan-steps"]},
      {"note": "graphs capped 158k->20k (358M total edges stream "
               "~7MB/step through the device tunnel; no published "
               "baseline epoch time for ppa)"}),
     ("gcmc_ml100k", "link_prediction/gcmc.py",
      {"smoke": ["--train_max_iter", "30"],
-      "full": ["--train_max_iter", "500"]},
+      "full": ["--train_max_iter", "500", "--scan-iters"]},
      {"no_eval": True}),
     ("ns_sage_reddit", "sampling/ns_sage.py",
      {"smoke": ["--scale", "0.01", "--num-epochs", "7"],
-      "full": ["--num-epochs", "12"]},
+      "full": ["--num-epochs", "12", "--scan-steps"]},
      {"no_eval": True}),
     ("ns_gat_reddit", "sampling/ns_gat.py",
      {"smoke": ["--scale", "0.01", "--num-epochs", "7"],
-      "full": ["--num-epochs", "12"]},
+      "full": ["--num-epochs", "12", "--scan-steps"]},
      {"no_eval": True}),
     ("cluster_sage_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50"],
@@ -174,6 +174,9 @@ TIME_RE = re.compile(
 )
 FINAL_TEST_RE = re.compile(r"\s*Final Test: ([0-9.]+)|Test RMSE: ([0-9.]+)")
 FINAL_TRAIN_RE = re.compile(r"\s*Final Train: ([0-9.]+)")
+# NS drivers print the reference's throughput line (ns-sage-dgl.py:171);
+# carried into the table so sampling rows have a comparison axis
+SPEED_RE = re.compile(r"Speed \(samples/sec\) ([0-9.eE+-]+)")
 
 
 def parse_output(text: str):
@@ -181,11 +184,15 @@ def parse_output(text: str):
     tests = [float(a or b) for a, b in FINAL_TEST_RE.findall(text)]
     trains = [float(m) for m in FINAL_TRAIN_RE.findall(text)]
     t = sum(times[-10:]) / len(times[-10:]) if times else None
-    return {
+    speeds = [float(m) for m in SPEED_RE.findall(text)]
+    out = {
         "time_per_epoch": t,
         "final_train": trains[-1] if trains else None,
         "final_test": tests[-1] if tests else None,
     }
+    if speeds:
+        out["samples_per_s"] = round(speeds[-1], 1)  # running mean; last = steadiest
+    return out
 
 
 def run_one(script: str, extra, timeout: int, with_eval: bool = True):
@@ -258,6 +265,7 @@ def main():
                 res["time_per_epoch"] = tres["time_per_epoch"]
         res["workload"] = name
         res["wall_s"] = round(time.time() - t0, 1)
+        res["date"] = time.strftime("%Y-%m-%d")
         # surface protocol deviations (epoch/run caps) next to the accuracy
         # they may affect, so the published table carries the caveat
         if args.suite == "full" and opts.get("note"):
@@ -272,7 +280,9 @@ def main():
     import pandas as pd
 
     cols = ["workload", "status", "time_per_epoch", "vs_dgl_v100",
-            "final_train", "final_test", "wall_s"]
+            "final_train", "final_test", "wall_s", "date"]
+    if any("samples_per_s" in r for r in rows):
+        cols.append("samples_per_s")
     if any("note" in r for r in rows):
         cols.append("note")
     # failure diagnosis: keep the stderr tail in the (scratch) row output —

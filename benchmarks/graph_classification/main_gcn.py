@@ -63,6 +63,15 @@ def main():
                              "README.md:72)")
     parser.add_argument("--num-graphs", type=int, default=None,
                         help="subsample the dataset (synthetic scale knob)")
+    parser.add_argument("--scan-steps", action="store_true",
+                        help="after epoch 1 builds the device-resident batch "
+                             "cache, run each further epoch's train steps in "
+                             "ONE lax.scan dispatch (batch gathered on-device "
+                             "by traced index). Removes the per-step dispatch "
+                             "latency (~3ms healthy / ~50ms degraded tunnel, "
+                             "x514 steps on molhiv). Same math: identical "
+                             "steps, sequential optimizer updates, "
+                             "order-shuffled like the cache path.")
     args = parser.parse_args()
     is_mol = args.dataset != "ENZYMES"
     if args.num_layers is None:
@@ -156,6 +165,25 @@ def main():
         return optax.apply_updates(params, updates), new_state["batch_stats"], opt_state, loss
 
     @jax.jit
+    def train_epoch_scan(params, batch_stats, opt_state, key, stacked, perm):
+        """One dispatch for a whole epoch: scan train_step over the stacked
+        device-resident batch cache in `perm` order (--scan-steps)."""
+
+        def body(carry, i):
+            params, batch_stats, opt_state, key = carry
+            batch, nf, ef, y = jax.tree_util.tree_map(
+                lambda a: a[i], stacked)
+            key, sub = jax.random.split(key)
+            yv = y.astype(jnp.float32) if args.dataset == "ogbg-molhiv" else y
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, batch, nf, ef, yv, sub)
+            return (params, batch_stats, opt_state, key), loss
+
+        (params, batch_stats, opt_state, key), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), perm)
+        return params, batch_stats, opt_state, losses[-1]
+
+    @jax.jit
     def predict(params, batch_stats, batch, nf, ef):
         return apply_model({"params": params, "batch_stats": batch_stats}, batch, nf, ef, train=False)
 
@@ -174,6 +202,7 @@ def main():
 
     logger = Logger(args.runs, scale=100.0 if not args.dataset.startswith("ogbg") else 1.0)
     dur = []
+    stacked = None  # shared across runs: batch composition is cache-frozen
     for run in range(args.runs):
         key = jax.random.PRNGKey(run)
         b0, nf0, ef0, _ = train_loader.first()
@@ -183,12 +212,26 @@ def main():
         opt_state = tx.init(params)
         for epoch in range(1, args.epochs + 1):
             t0 = time.time()
-            for batch, nf, ef, y in train_loader:
+            if args.scan_steps and stacked is None:
+                stacked = train_loader.stacked_cache()  # ready after epoch 1
+                if stacked is not None:
+                    # the stacked copy supersedes the per-item cache; free it
+                    # (ppa buckets: ~1GB each, HBM is 16GB)
+                    train_loader._cache = None
+            if stacked is not None:
+                st, n_steps = stacked
                 key, sub = jax.random.split(key)
-                yv = y.astype(jnp.float32) if args.dataset == "ogbg-molhiv" else y
-                params, batch_stats, opt_state, loss = train_step(
-                    params, batch_stats, opt_state, batch, nf, ef, yv, sub
-                )
+                perm = jnp.asarray(
+                    train_loader.rng.permutation(n_steps).astype(np.int32))
+                params, batch_stats, opt_state, loss = train_epoch_scan(
+                    params, batch_stats, opt_state, sub, st, perm)
+            else:
+                for batch, nf, ef, y in train_loader:
+                    key, sub = jax.random.split(key)
+                    yv = y.astype(jnp.float32) if args.dataset == "ogbg-molhiv" else y
+                    params, batch_stats, opt_state, loss = train_step(
+                        params, batch_stats, opt_state, batch, nf, ef, yv, sub
+                    )
             loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)

@@ -42,6 +42,12 @@ def main():
     p.add_argument("--train_decay_patience", type=int, default=50)
     p.add_argument("--train_early_stopping_patience", type=int, default=100)
     p.add_argument("--share_param", action="store_true")
+    p.add_argument("--scan-iters", action="store_true",
+                   help="scan each validation interval's train iterations "
+                        "(train_valid_interval of them) in ONE dispatch; "
+                        "identical math (sequential updates, per-iter keys, "
+                        "per-iter losses still logged), ~5x fewer tunnel "
+                        "round-trips")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--save_dir", type=str, default="/tmp/gcmc_logs")
     args = p.parse_args()
@@ -111,19 +117,45 @@ def main():
     logger = MetricLogger(args.save_dir, "train_metrics.csv", ["iter", "loss", "rmse"])
     vlogger = MetricLogger(args.save_dir, "valid_metrics.csv", ["iter", "rmse"])
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def train_scan(params_opt_key, _unused, k):
+        def body(carry, _):
+            params, opt, key = carry
+            key, sub = jax.random.split(key)
+            params, opt, loss = train_step(
+                params, opt, sub, enc_tr, dec_tr, y_tr, ufeat, ifeat,
+                data.norms)
+            return (params, opt, key), loss
+
+        carry, losses = jax.lax.scan(body, params_opt_key, None, length=k)
+        return carry, losses
+
     key = jax.random.PRNGKey(args.seed)
     best_valid = np.inf
     best_test = np.inf
     no_better = 0
     dur = []
+    scan_losses = {}  # it -> loss prefetched by the current scanned chunk
     for it in range(args.train_max_iter):
         key, sub = jax.random.split(key)
         if it >= 3:
             t0 = time.time()
-        params, opt, loss = train_step(
-            params, opt, sub, enc_tr, dec_tr, y_tr, ufeat, ifeat, data.norms
-        )
-        loss = float(loss)
+        if args.scan_iters:
+            if it not in scan_losses:
+                k = min(args.train_valid_interval,
+                        args.train_max_iter - it)
+                (params, opt, key), losses = train_scan(
+                    (params, opt, key), None, k)
+                lv = np.asarray(losses)  # one readback per chunk
+                scan_losses = {it + j: float(lv[j]) for j in range(k)}
+            loss = scan_losses[it]
+        else:
+            params, opt, loss = train_step(
+                params, opt, sub, enc_tr, dec_tr, y_tr, ufeat, ifeat, data.norms
+            )
+            loss = float(loss)
         if it >= 3:
             dur.append(time.time() - t0)
         if (it + 1) % args.train_valid_interval == 0:

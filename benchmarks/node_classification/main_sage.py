@@ -23,6 +23,7 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
 from common import (  # noqa: E402
     adam_l2,
+    data_cache_suffix,
     load_node_dataset,
     masked_accuracy,
     masked_softmax_ce,
@@ -255,7 +256,8 @@ def main():
             agg_path = os.path.join(
                 data_root(),
                 f"xagg_{args.dataset}_s{args.scale}_sd{args.seed}"
-                f"_{args.aggr}_r{int(args.lane_kernel)}.npy")
+                f"_{args.aggr}_r{int(args.lane_kernel)}"
+                f"{data_cache_suffix(data)}.npy")
         if agg_path and os.path.exists(agg_path):
             x_agg = jnp.asarray(np.load(agg_path))
         else:

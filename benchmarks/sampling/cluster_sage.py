@@ -21,6 +21,7 @@ import optax
 
 sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0] + "/benchmarks")
 from common import (  # noqa: E402
+    data_cache_suffix,
     load_node_dataset,
     masked_accuracy,
     masked_softmax_ce,
@@ -84,7 +85,8 @@ def main():
             lambda: (dgl_tpu.from_edges(data.src, data.dst, data.num_nodes,
                                         device=False), {}),
             data_root() if len(data.src) >= 4_000_000 else None,
-            f"{args.dataset}_s{args.scale}_sd{args.seed}_b0l0r0",
+            f"{args.dataset}_s{args.scale}_sd{args.seed}_b0l0r0"
+            f"{data_cache_suffix(data)}",
         )
         if not isinstance(g_full.src, jnp.ndarray):
             g_full = jax.tree_util.tree_map(jnp.asarray, g_full)

@@ -57,7 +57,16 @@ def main():
                    help="sample on host threads (the round-1/2 path) instead "
                         "of on device; device sampling cuts per-step H2D to "
                         "the seed ids")
+    p.add_argument("--no-replace", action="store_true",
+                   help="without-replacement neighbor sampling (distinct "
+                        "neighbors per seed); implies --host-sampler")
+    p.add_argument("--scan-steps", action="store_true",
+                   help="device-sampler mode only: run each epoch (on-device "
+                        "sampling + train steps) as ONE lax.scan dispatch "
+                        "over the shuffled seed matrix")
     args = p.parse_args()
+    if args.no_replace:
+        args.host_sampler = True
     print(args)
 
     data = load_node_dataset(args.dataset, seed=args.seed, scale=args.scale)
@@ -74,7 +83,7 @@ def main():
     val_nid = np.where(data.val_mask)[0]
     test_nid = np.where(data.test_mask)[0]
 
-    sampler = MultiLayerNeighborSampler(fanouts)
+    sampler = MultiLayerNeighborSampler(fanouts, replace=not args.no_replace)
     if args.host_sampler:
         loader = NodeDataLoader(csr, train_nid, sampler, args.batch_size, seed=args.seed)
     else:
@@ -124,6 +133,25 @@ def main():
         acc = masked_accuracy(logits, batch_y, seed_mask)
         return optax.apply_updates(params, updates), opt, loss, acc
 
+    # --scan-steps: one dispatch per epoch (see ns_sage.py — same design)
+    if not args.host_sampler:
+        skel = dsampler.skeleton_blocks(args.batch_size)
+
+        @jax.jit
+        def train_epoch_scan(params, opt, key, seed_mat, mask_mat, x, y):
+            def body(carry, step_in):
+                params, opt, key = carry
+                seeds, mask = step_in
+                key, k_s, k_d = jax.random.split(key, 3)
+                inp = dsampler.input_nodes(seeds, k_s)
+                params, opt, loss, acc = train_step(
+                    params, opt, k_d, skel, inp, seeds, mask, x, y)
+                return (params, opt, key), (loss, acc)
+
+            (params, opt, key), (losses, accs) = jax.lax.scan(
+                body, (params, opt, key), (seed_mat, mask_mat))
+            return params, opt, losses[-1], accs[-1]
+
     @jax.jit
     def full_forward(params, g, x):
         return model.apply({"params": params}, g, x, deterministic=True)
@@ -147,6 +175,33 @@ def main():
     for epoch in range(args.num_epochs):
         tic = time.time()
         tic_step = time.time()
+        if args.scan_steps and not args.host_sampler:
+            idx = loader_rng.permutation(train_nid)
+            n_steps = (len(idx) + args.batch_size - 1) // args.batch_size
+            seed_mat = np.zeros((n_steps, args.batch_size), np.int32)
+            mask_mat = np.zeros((n_steps, args.batch_size), bool)
+            for s in range(n_steps):
+                part = idx[s * args.batch_size:(s + 1) * args.batch_size]
+                seed_mat[s, : len(part)] = part
+                mask_mat[s, : len(part)] = True
+            key, sub = jax.random.split(key)
+            params, opt, loss, acc = train_epoch_scan(
+                params, opt, sub, jnp.asarray(seed_mat), jnp.asarray(mask_mat),
+                x, y)
+            loss_v, acc_v = float(loss), float(acc)
+            toc = time.time()
+            tput = len(idx) / (toc - tic)
+            print(
+                "Epoch {:05d} | Step {:05d} | Loss {:.4f} | Train Acc {:.4f} | "
+                "Speed (samples/sec) {:.4f} | GPU {:.1f} MiB".format(
+                    epoch, n_steps - 1, loss_v, acc_v, tput, device_mem_mib()))
+            print("Epoch Time(s): {:.4f}".format(toc - tic))
+            if epoch >= 5:
+                avg += toc - tic
+            if epoch % args.eval_every == 0 and epoch != 0:
+                print("Eval Acc {:.4f}".format(evaluate(params, val_nid)))
+                print("Test Acc: {:.4f}".format(evaluate(params, test_nid)))
+            continue
         it = loader if args.host_sampler else device_loader()
         for step, mb in enumerate(it):
             key, sub = jax.random.split(key)

@@ -81,6 +81,53 @@ void sample_neighbors(const int64_t *indptr, const int64_t *indices,
   }
 }
 
+// Sample up to `fanout` DISTINCT in-neighbors per seed (DGL's
+// without-replacement semantics, the MultiLayerNeighborSampler default in
+// the reference reddit NS path). Distinct selection uses Robert Floyd's
+// algorithm — O(fanout^2) per seed with fanout <= ~25, no allocation, no
+// dependence on degree — so hub nodes cost the same as leaves. Seeds with
+// deg < fanout take all deg distinct neighbors and fill the remaining
+// slots cyclically from them (static output shape; the Python layer
+// documents the resulting mean/sum weighting deviation). Zero-degree seeds
+// yield themselves, as in sample_neighbors.
+void sample_neighbors_noreplace(const int64_t *indptr, const int64_t *indices,
+                                const int64_t *seeds, int64_t n_seeds,
+                                int64_t fanout, uint64_t seed, int64_t *out) {
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    Rng rng(seed * 0x9e3779b97f4a7c15ull + (uint64_t)tid + 1);
+    int64_t chosen[64];  // fanout is clamped to 64 by the Python wrapper
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n_seeds; ++i) {
+      int64_t v = seeds[i];
+      int64_t lo = indptr[v], hi = indptr[v + 1];
+      int64_t deg = hi - lo;
+      int64_t *dst = out + i * fanout;
+      if (deg <= 0) {
+        for (int64_t j = 0; j < fanout; ++j) dst[j] = v;
+      } else if (deg <= fanout) {
+        for (int64_t j = 0; j < fanout; ++j) dst[j] = indices[lo + j % deg];
+      } else {
+        // Floyd: k distinct draws from [0, deg)
+        int64_t k = fanout;
+        for (int64_t t = deg - k, m = 0; t < deg; ++t, ++m) {
+          int64_t j = (int64_t)rng.bounded((uint64_t)(t + 1));
+          bool dup = false;
+          for (int64_t q = 0; q < m; ++q)
+            if (chosen[q] == j) { dup = true; break; }
+          chosen[m] = dup ? t : j;
+        }
+        for (int64_t m = 0; m < k; ++m) dst[m] = indices[lo + chosen[m]];
+      }
+    }
+  }
+}
+
 // Node-induced subgraph: edges (by-src CSR) with both endpoints in `nodes`,
 // relabelled to positions in `nodes`. Returns edge count written.
 // mapping: caller-provided scratch of size num_nodes (int64).

@@ -64,6 +64,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, _i64p,
         ]
         lib.sample_neighbors.restype = None
+        lib.sample_neighbors_noreplace.argtypes = [
+            _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, _i64p,
+        ]
+        lib.sample_neighbors_noreplace.restype = None
         lib.node_subgraph.argtypes = [
             _i64p, _i64p, ctypes.c_int64, _i64p, ctypes.c_int64,
             _i64p, _u8p, _i64p, _i64p,
@@ -111,6 +116,41 @@ def sample_neighbors(
     r = rng.integers(0, np.maximum(deg, 1)[:, None], size=(len(seeds), fanout))
     picks = indices[indptr[seeds][:, None] + r]
     return np.where(deg[:, None] > 0, picks, seeds[:, None])
+
+
+def sample_neighbors_noreplace(
+    indptr: np.ndarray, indices: np.ndarray, seeds: np.ndarray, fanout: int, seed: int
+) -> np.ndarray:
+    """(len(seeds), fanout) DISTINCT in-neighbor samples (DGL's
+    without-replacement semantics, reference ``ns-sage-dgl.py:132``).
+    Seeds with deg < fanout keep all deg distinct neighbors, filled
+    cyclically to the static slot count; zero-degree seeds yield
+    themselves."""
+    if fanout > 64:
+        raise ValueError("noreplace fanout is capped at 64 "
+                         "(Floyd scratch in graph_ops.cpp)")
+    lib = get_lib()
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    if lib is not None:
+        out = np.empty(len(seeds) * fanout, dtype=np.int64)
+        lib.sample_neighbors_noreplace(
+            np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int64),
+            seeds, len(seeds), fanout, seed & 0xFFFFFFFFFFFFFFFF, out,
+        )
+        return out.reshape(len(seeds), fanout)
+    rng = np.random.default_rng(seed)
+    out = np.empty((len(seeds), fanout), dtype=np.int64)
+    for i, v in enumerate(seeds):
+        lo, hi = int(indptr[v]), int(indptr[v + 1])
+        deg = hi - lo
+        if deg <= 0:
+            out[i] = v
+        elif deg <= fanout:
+            out[i] = indices[lo + (np.arange(fanout) % deg)]
+        else:
+            out[i] = indices[lo + rng.choice(deg, size=fanout, replace=False)]
+    return out
 
 
 class SubgraphExtractor:

@@ -273,8 +273,16 @@ def _parse_ogb_graphs(root: str, name: str) -> GraphClassificationData:
     num_nodes = rd_csv("num-node-list.csv.gz", np.int64)[:, 0]
     num_edges = rd_csv("num-edge-list.csv.gz", np.int64)[:, 0]
     labels = rd_csv("graph-label.csv.gz", np.int64)[:, 0]
-    nf_all = rd_csv("node-feat.csv.gz",
-                    np.int64 if name == "ogbg-molhiv" else np.float32)
+    nf_path = os.path.join(raw, "node-feat.csv.gz")
+    if os.path.exists(nf_path):
+        nf_all = rd_csv("node-feat.csv.gz",
+                        np.int64 if name == "ogbg-molhiv" else np.float32)
+    else:
+        # ogbg-ppa ships NO node features in the OGB raw layout (its node
+        # encoder is a single shared embedding over a constant id); feed the
+        # conventional all-zeros one-column feature, matching the synthetic
+        # twin (data/synthetic.py "ppa" branch) and OGB's own examples
+        nf_all = np.zeros((int(num_nodes.sum()), 1), np.int64)
     ef_path = os.path.join(raw, "edge-feat.csv.gz")
     ef_all = None
     if os.path.exists(ef_path):

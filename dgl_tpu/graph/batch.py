@@ -100,6 +100,10 @@ def batch_graphs(
     if n_pad < total_nodes:
         raise ValueError(f"n_pad={n_pad} < total nodes {total_nodes}")
 
+    # Piece arrays stay data-dependent-sized here (a worst-case uniform pad
+    # ~tripled ppa batch memory and silently blew the device-cache budget —
+    # 12 s/epoch -> 160 s/epoch measured); scan-over-steps uniformity is
+    # restored at stack time by repad_graph_pieces (sentinel-extension).
     g = from_edges(
         src,
         dst,

@@ -211,7 +211,8 @@ def _piece_pad(total: int) -> int:
 
 
 def _build_mxu_blocks(
-    dst: np.ndarray, num_dst: int, e_pad: int
+    dst: np.ndarray, num_dst: int, e_pad: int,
+    piece_pad: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Metadata for the MXU piece reduce (``kernels/piece_reduce.py``).
 
@@ -241,7 +242,9 @@ def _build_mxu_blocks(
     valid = pdst_v < num_dst  # padding pieces (sentinel dst) never selected
     upos, pdst_v = upos[valid], pdst_v[valid]
     total = len(upos)
-    p_pad = _piece_pad(total)
+    p_pad = piece_pad if piece_pad is not None else _piece_pad(total)
+    if p_pad < total:
+        raise ValueError(f"piece_pad={p_pad} < {total} mxu pieces")
     pos = np.full(p_pad, B * SEG_BLOCK, dtype=np.int32)  # → appended zero row
     pdst = np.full(p_pad, num_dst, dtype=np.int32)  # → dropped by the scatter
     pos[:total] = upos
@@ -249,7 +252,9 @@ def _build_mxu_blocks(
     return loc.reshape(-1), pos, pdst
 
 
-def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _build_seg_blocks(
+    indptr64: np.ndarray, e_pad: int, piece_pad: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Piece arrays for the blocked segment sum: each piece is the part of a
     segment inside one 128-edge block; its sum is a difference of
     block-LOCAL prefix values (bounded magnitudes → scatter-grade accuracy).
@@ -264,7 +269,9 @@ def _build_seg_blocks(indptr64: np.ndarray, e_pad: int) -> Tuple[np.ndarray, np.
     e = indptr64[1:].astype(np.int64)
     nb = np.where(e > s, (e - 1) // B - s // B + 1, 0)
     total = int(nb.sum())
-    p_pad = _piece_pad(total)
+    p_pad = piece_pad if piece_pad is not None else _piece_pad(total)
+    if p_pad < total:
+        raise ValueError(f"piece_pad={p_pad} < {total} seg pieces")
     seg_id = np.full(p_pad, n, dtype=np.int32)
     idx_end = np.full(p_pad, e_pad, dtype=np.int32)
     idx_sub = np.full(p_pad, e_pad, dtype=np.int32)
@@ -319,6 +326,7 @@ def from_edges(
     pad_multiple: int = _LANES,
     build_reverse: bool = True,
     device: bool = True,
+    piece_pad: Optional[int] = None,
 ) -> Graph:
     """Build a :class:`Graph` from COO edge lists (host-side).
 
@@ -328,6 +336,12 @@ def from_edges(
         is None (homogeneous graph).
       e_pad: explicit padded edge length (use to bucket minibatches into a
         few compiled shapes); defaults to ``pad_length(len(src))``.
+      piece_pad: explicit padded length for the segblocks/mxublocks piece
+        arrays. Without it, pieces use data-dependent half-octave buckets
+        (``_piece_pad``) — fine for one-off graphs, but bucketed minibatches
+        whose piece counts straddle a bucket boundary get different leaf
+        shapes (one recompile each, and they can't be stacked for a
+        scan-over-steps epoch). Loaders pass the bucket's worst case.
       build_reverse: also build the transpose graph (needed for out-degrees,
         backward scatter and reduce-by-src ops).
       device: wrap leaves as jax arrays (upload). ``False`` keeps numpy
@@ -353,8 +367,10 @@ def from_edges(
 
     wrap = jnp.asarray if device else (lambda a: a)
     s, d, indptr, e = _build_sorted(src, dst, num_src_nodes, num_dst_nodes, e_pad)
-    segb = tuple(wrap(a) for a in _build_seg_blocks(indptr.astype(np.int64), e_pad))
-    mxub = tuple(wrap(a) for a in _build_mxu_blocks(d, num_dst_nodes, e_pad))
+    segb = tuple(wrap(a) for a in _build_seg_blocks(
+        indptr.astype(np.int64), e_pad, piece_pad=piece_pad))
+    mxub = tuple(wrap(a) for a in _build_mxu_blocks(
+        d, num_dst_nodes, e_pad, piece_pad=piece_pad))
     rev = None
     if build_reverse:
         # Build the transpose from the *canonical* arrays so that rev.eid maps
@@ -365,10 +381,12 @@ def from_edges(
             d[:num_e], s[:num_e], num_dst_nodes, num_src_nodes, e_pad
         )
         rev_segb = tuple(
-            wrap(a) for a in _build_seg_blocks(rindptr.astype(np.int64), e_pad)
+            wrap(a) for a in _build_seg_blocks(
+                rindptr.astype(np.int64), e_pad, piece_pad=piece_pad)
         )
         rev_mxub = tuple(
-            wrap(a) for a in _build_mxu_blocks(rd, num_src_nodes, e_pad)
+            wrap(a) for a in _build_mxu_blocks(
+                rd, num_src_nodes, e_pad, piece_pad=piece_pad)
         )
         rev = Graph(
             src=wrap(rs),
@@ -394,6 +412,53 @@ def from_edges(
         segblocks=segb,
         mxublocks=mxub,
     )
+
+
+def _repad_one(g: Graph, seg_pad: int, mxu_pad: int) -> Graph:
+    e_pad = int(g.src.shape[0])
+    n = g.num_dst_nodes
+    seg_id, idx_end, idx_sub = (np.asarray(a) for a in g.segblocks)
+    cur = len(seg_id)
+    if cur != seg_pad:
+        if seg_pad < cur:
+            raise ValueError(f"seg piece repad {seg_pad} < current {cur}")
+        pad = seg_pad - cur
+        seg_id = np.concatenate([seg_id, np.full(pad, n, seg_id.dtype)])
+        idx_end = np.concatenate([idx_end, np.full(pad, e_pad, idx_end.dtype)])
+        idx_sub = np.concatenate([idx_sub, np.full(pad, e_pad, idx_sub.dtype)])
+    loc, pos, pdst = (np.asarray(a) for a in g.mxublocks)
+    curm = len(pos)
+    if curm != mxu_pad:
+        if mxu_pad < curm:
+            raise ValueError(f"mxu piece repad {mxu_pad} < current {curm}")
+        pad = mxu_pad - curm
+        sentinel_pos = (e_pad // SEG_BLOCK) * SEG_BLOCK  # == _build_mxu_blocks
+        pos = np.concatenate([pos, np.full(pad, sentinel_pos, pos.dtype)])
+        pdst = np.concatenate([pdst, np.full(pad, n, pdst.dtype)])
+    wrap = jnp.asarray if isinstance(g.src, jnp.ndarray) else (lambda a: a)
+    return dataclasses.replace(
+        g,
+        segblocks=(wrap(seg_id), wrap(idx_end), wrap(idx_sub)),
+        mxublocks=(g.mxublocks[0], wrap(pos), wrap(pdst)),
+    )
+
+
+def repad_graph_pieces(g: Graph, seg_pad: int, mxu_pad: int,
+                       rev_seg_pad: Optional[int] = None,
+                       rev_mxu_pad: Optional[int] = None) -> Graph:
+    """Extend the data-dependent segblocks/mxublocks piece arrays (and the
+    reverse graph's) to the given lengths by appending inert sentinel
+    pieces — seg sentinels gather the appended zero row (`idx == e_pad`)
+    and scatter to the dropped segment (`seg_id == num_dst`); mxu sentinels
+    select the appended zero piece (`pos == e_pad`, `pdst == num_dst`).
+    Used by loaders to give every same-bucket minibatch IDENTICAL leaf
+    shapes (half-octave piece buckets otherwise diverge on small final
+    batches) so the epoch cache can be stacked and scanned."""
+    g2 = _repad_one(g, seg_pad, mxu_pad)
+    if g.reverse is not None and rev_seg_pad is not None:
+        g2 = dataclasses.replace(
+            g2, reverse=_repad_one(g.reverse, rev_seg_pad, rev_mxu_pad))
+    return g2
 
 
 def quantize_trace_meta(g: Graph) -> Graph:

@@ -70,4 +70,34 @@ def edge_softmax(g: Graph, logits: jnp.ndarray, dst_bound=None) -> jnp.ndarray:
     # off the scatter/row-gather walls (ops/gather.py)
     denom = seg_sum_dst(g, expz)
     denom = spread_dst(g, denom)
-    return expz / jnp.maximum(denom, jnp.finfo(expz.dtype).tiny)
+    tiny = jnp.finfo(expz.dtype).tiny
+    if dst_bound is None:
+        return expz / jnp.maximum(denom, tiny)
+
+    # Underflow guard (ADVICE r4): a bound more than ~88 above a
+    # destination's true in-edge max (f32 exp range) underflows EVERY exp
+    # for that destination, and the tiny-clamp would then return all-zero
+    # attention for the row with no diagnostic. `denom == 0` on a live edge
+    # is exactly that failure (a sane bound keeps at least one term
+    # ≥ exp(-looseness) > 0), so detect it with a cheap full reduce and
+    # rescue by re-running the exact segment-max formulation — only paid
+    # when actually tripped.
+    bad = jnp.any(m & (denom <= tiny))
+
+    def _exact(operand):
+        lg, mm = operand
+        z = jnp.where(mm, lg, -jnp.inf)
+        sm = jax.ops.segment_max(z, g.dst, num_segments=n,
+                                 indices_are_sorted=True)
+        sm = jax.lax.stop_gradient(
+            jnp.where(jnp.isfinite(sm), sm, 0.0))
+        sh = jnp.where(mm, lg - gather_dst(g, sm), -jnp.inf)
+        ez = jnp.exp(sh)
+        dn = spread_dst(g, seg_sum_dst(g, ez))
+        return ez / jnp.maximum(dn, tiny)
+
+    def _loose(operand):
+        del operand
+        return expz / jnp.maximum(denom, tiny)
+
+    return jax.lax.cond(bad, _exact, _loose, (logits, m))

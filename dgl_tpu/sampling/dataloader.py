@@ -151,6 +151,47 @@ class GraphBatchLoader:
             for l in jax.tree_util.tree_leaves(item)
         )
 
+    def stacked_cache(self):
+        """The device-resident epoch cache stacked on a leading step axis
+        (one pytree whose leaves are (n_steps, ...) device arrays), or None
+        until the cache exists (run one epoch first) or if the epoch was too
+        big to cache. Enables scanning a whole epoch of train steps in ONE
+        dispatch (`--scan-steps` in the GC driver): the per-step dispatch
+        latency — ~3 ms/step healthy, ~50 ms in the tunnel's degraded mode,
+        ×514 steps/epoch on molhiv — leaves the hot path entirely; a step's
+        batch is gathered on-device from the stack by a traced index."""
+        if getattr(self, "_cache", None) is None:
+            return None
+        import dataclasses
+
+        import jax
+
+        from ..graph.graph import repad_graph_pieces
+
+        # uniformize the data-dependent piece-array lengths (half-octave
+        # buckets diverge on small final batches) by sentinel-extension, so
+        # every leaf stacks; everything else is already bucket-uniform
+        items = self._cache
+
+        def lens(it):
+            g = it[0].graph
+            return (g.segblocks[0].shape[0], g.mxublocks[1].shape[0],
+                    g.reverse.segblocks[0].shape[0],
+                    g.reverse.mxublocks[1].shape[0])
+
+        all_lens = [lens(it) for it in items]
+        target = tuple(max(c) for c in zip(*all_lens))
+        fixed = []
+        for it, l in zip(items, all_lens):
+            if l != target:
+                batch = it[0]
+                g2 = repad_graph_pieces(batch.graph, *target)
+                it = (dataclasses.replace(batch, graph=g2),) + tuple(it[1:])
+            fixed.append(it)
+        stacked = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *fixed)
+        return stacked, len(fixed)
+
     def __iter__(self):
         cache_gb = float(
             __import__("os").environ.get("DGL_TPU_GC_CACHE_GB", "4"))

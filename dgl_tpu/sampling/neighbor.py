@@ -84,11 +84,15 @@ class MultiLayerNeighborSampler:
     ``MultiLayerNeighborSampler([10, 25])`` in ``ns-sage-dgl.py:132``)."""
 
     def __init__(self, fanouts: Sequence[int], replace: bool = True):
-        if not replace:
-            raise NotImplementedError(
-                "without-replacement sampling breaks static shapes; "
-                "use replace=True (reference products sampler does too)"
-            )
+        # replace=False gives DGL's without-replacement semantics (the
+        # reference reddit NS default, ``ns-sage-dgl.py:132``): fanout
+        # DISTINCT neighbors per seed. Static shapes are kept by filling
+        # the slots of deg<fanout seeds cyclically with their (all-distinct)
+        # neighbor set — mean aggregation then matches DGL's up to the
+        # ±1-repeat weighting when deg does not divide fanout; sum
+        # aggregation over-counts by ~fanout/deg for those low-degree seeds.
+        # High-degree seeds (the common case at NS fanouts 10/25) are exact.
+        self.replace = replace
         self.fanouts = list(fanouts)
         # block skeletons keyed by b_pad: the positional-slot block layout
         # (src/dst/eid/indptr and the analytic transpose) depends only on
@@ -108,7 +112,9 @@ class MultiLayerNeighborSampler:
         behavior under replace sampling as closely as possible)."""
         from ..csrc import native
 
-        return native.sample_neighbors(
+        fn = (native.sample_neighbors if self.replace
+              else native.sample_neighbors_noreplace)
+        return fn(
             csr.indptr, csr.indices, seeds, fanout,
             int(rng.integers(0, 2**63 - 1)),
         )

@@ -20,7 +20,27 @@ from typing import Dict, List
 
 import jax
 
-__all__ = ["EpochTimer", "PhaseTimer", "op_time", "time_fn", "chip_health_ms"]
+__all__ = ["EpochTimer", "PhaseTimer", "op_time", "time_fn", "chip_health_ms",
+           "warm_readback"]
+
+
+def warm_readback() -> float:
+    """Establish the device→host readback path with one tiny fetch; returns
+    the seconds it took.
+
+    The shared-pool tunnel charges ~60 s for a process's FIRST readback when
+    it lands after a queued dispatch burst — which is exactly where a
+    training driver's first ``float(loss)`` sits — but only ~1.3 s for an
+    immediate tiny fetch at startup (measured 2026-08-20: tiny-first 1.3 s
+    then post-burst fetch 1.1 s, vs no-warm first fetch 58 s). Call once
+    right after backend selection and before any real dispatch: it prepays
+    the tax outside the timed region and defuses the pool's
+    ``readback hang`` kill mode (DESIGN_NOTES §7a) for the big rows."""
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    float(jnp.asarray(1.0) + 1.0)
+    return time.time() - t0
 
 
 def chip_health_ms(reps: int = 5) -> float:

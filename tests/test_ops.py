@@ -161,6 +161,28 @@ def test_edge_softmax_matches_dense(rng):
     np.testing.assert_allclose(alpha[g.num_edges :], 0.0)
 
 
+def test_edge_softmax_loose_bound_rescued(rng):
+    """A dst_bound pathologically far above the true max (> f32's ~88 exp
+    range) used to underflow every exp for the row and return all-zero
+    attention via the tiny-clamp (ADVICE r4); the guard must detect the
+    zeroed denominator and rescue with the exact segment-max path."""
+    n, n_e = 12, 40
+    src = rng.integers(0, n, size=n_e)
+    dst = rng.integers(0, n, size=n_e)
+    g = from_edges(src, dst, n, n)
+    logits = rng.standard_normal((n_e,)).astype(np.float32)
+    lc = g.permute_edata(jnp.asarray(logits))
+    ref = np.asarray(edge_softmax(g, lc))
+    # a valid but absurdly loose upper bound: +200 above everything
+    bound = jnp.full((n,), float(logits.max()) + 200.0, jnp.float32)
+    alpha = np.asarray(edge_softmax(g, lc, dst_bound=bound))
+    np.testing.assert_allclose(alpha, ref, rtol=1e-5, atol=1e-6)
+    # and a sane bound still takes the cheap path and matches
+    bound_ok = jnp.full((n,), float(logits.max()) + 1.0, jnp.float32)
+    alpha_ok = np.asarray(edge_softmax(g, lc, dst_bound=bound_ok))
+    np.testing.assert_allclose(alpha_ok, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_edge_softmax_grad_finite(rng):
     n, n_e = 6, 15
     src = rng.integers(0, n, size=n_e)

@@ -177,8 +177,9 @@ STEP_SENSITIVE = {
     "cora_sage", "pubmed_sage", "cora_gat", "pubmed_gat",
     "arxiv_sage", "arxiv_gat", "reddit_sage",
     "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
-    "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256", "molhiv_gcn_scatter",
-    "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit", "cluster_lp_arxiv",
+    "gcmc_ml100k", "cluster_lp_arxiv",
+    # molhiv/ppa/NS rows left OUT since --scan-steps (one lax.scan dispatch
+    # per epoch) made their timed region dispatch-count-independent
 }
 STEP_HEALTHY_MS = float(os.environ.get("STEP_HEALTHY_MS", "2"))
 
