@@ -148,10 +148,10 @@ WORKLOADS = [
      {"no_eval": True}),
     ("cluster_sage_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50"],
-      "full": ["--n-epochs", "10"]}),
+      "full": ["--n-epochs", "10", "--freeze-clusters"]}),
     ("cluster_gat_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50", "--model", "gat"],
-      "full": ["--n-epochs", "10", "--model", "gat"]}),
+      "full": ["--n-epochs", "10", "--model", "gat", "--freeze-clusters"]}),
     ("cluster_lp_arxiv", "link_prediction/cluster_gcn_lp.py",
      {"smoke": ["--scale", "0.05", "--n-epochs", "3", "--psize", "50"],
       "full": ["--n-epochs", "20"]}),

@@ -58,6 +58,11 @@ def main():
                    help="partitioner: 'metis' = native multilevel "
                         "(heavy-edge coarsen + refine, the METIS recipe), "
                         "'lp' = label propagation, 'random' = baseline")
+    p.add_argument("--freeze-clusters", action="store_true",
+                   help="collate one partition grouping, keep batches "
+                        "device-resident, reshuffle only batch order per "
+                        "epoch (GC-loader cache semantics; removes the "
+                        "per-step host subgraph build + upload)")
     p.add_argument("--save-pred", type=str, default=None,
                    help="np.savetxt final predictions here (reference "
                         "cluster-sage/dgl/main.py:172-173)")
@@ -71,7 +76,7 @@ def main():
         f"{args.dataset}_s{args.scale}", data.src, data.dst, data.num_nodes,
         data.features, data.labels, data.train_mask,
         args.psize, args.batch_size, method=args.part_method,
-        seed=args.seed, cache_dir=data_root(),
+        seed=args.seed, cache_dir=data_root(), freeze=args.freeze_clusters,
     )
     # the full graph serves only full-graph eval / --save-pred (reference
     # evaluates on the whole graph, main.py:91-97); the timing pass skips
