@@ -120,13 +120,14 @@ class ClusterIter:
         """Edges with BOTH endpoints in ``nodes``, relabelled."""
         return self._extractor.extract(nodes)
 
-    def _collate(self, part_ids: np.ndarray) -> ClusterBatch:
+    def _collate(self, part_ids: np.ndarray, device: bool = True) -> ClusterBatch:
         nodes = np.concatenate([self.par_li[i] for i in part_ids])
         s, d = self._subgraph(nodes)
         n = len(nodes)
         n_pad = _bucket(n)
         e_pad = _bucket(len(s))
-        g = from_edges(s, d, n_pad, e_pad=e_pad)
+        g = from_edges(s, d, n_pad, e_pad=e_pad, device=device)
+        arr = jnp.asarray if device else (lambda a: a)
         x = np.zeros((n_pad,) + self.features.shape[1:], dtype=self.features.dtype)
         x[:n] = self.features[nodes]
         y = np.zeros((n_pad,) + self.labels.shape[1:], dtype=self.labels.dtype)
@@ -137,7 +138,7 @@ class ClusterIter:
         if self.with_negatives:
             # uniform negative dst per positive edge (dgl_cluster_sampler.py:97-109)
             neg_dst = self.rng.integers(0, max(n, 1), size=len(s))
-            neg = from_edges(s, neg_dst, n_pad, e_pad=e_pad)
+            neg = from_edges(s, neg_dst, n_pad, e_pad=e_pad, device=device)
         from ..graph.graph import quantize_trace_meta
 
         # erase per-batch edge counts from the static aux — same-bucket
@@ -146,8 +147,8 @@ class ClusterIter:
         if neg is not None:
             neg = quantize_trace_meta(neg)
         return ClusterBatch(
-            graph=g, nodes=nodes, x=jnp.asarray(x), y=jnp.asarray(y),
-            mask=jnp.asarray(m), neg_graph=neg, has_train=bool(m.any()),
+            graph=g, nodes=nodes, x=arr(x), y=arr(y),
+            mask=arr(m), neg_graph=neg, has_train=bool(m.any()),
         )
 
     def first(self) -> ClusterBatch:
@@ -159,6 +160,17 @@ class ClusterIter:
         for i in range(0, self.psize, self.batch_size):
             yield self._collate(perm[i : i + self.batch_size])
 
+    @staticmethod
+    def _to_device(b: "ClusterBatch") -> "ClusterBatch":
+        import jax
+
+        up = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        return dataclasses.replace(
+            b, graph=up(b.graph), x=jnp.asarray(b.x), y=jnp.asarray(b.y),
+            mask=jnp.asarray(b.mask),
+            neg_graph=up(b.neg_graph) if b.neg_graph is not None else None,
+        )
+
     def __iter__(self):
         if not self.freeze:
             return prefetch(self._gen(), self.prefetch_depth)
@@ -167,21 +179,35 @@ class ClusterIter:
 
             import jax
 
-            budget = float(os.environ.get(
-                "DGL_TPU_CLUSTER_CACHE_GB", "8")) * (1 << 30)
-            items = list(self._gen())
+            # collate ONE grouping host-side (numpy leaves: no device
+            # memory is committed before the budget decision — uploading
+            # first OOM'd products cluster-GAT against the eval graph)
+            perm = self.rng.permutation(self.psize)
+            host = [
+                self._collate(perm[i: i + self.batch_size], device=False)
+                for i in range(0, self.psize, self.batch_size)
+            ]
             total = sum(
                 getattr(l, "nbytes", 0)
-                for b in items
+                for b in host
                 for l in jax.tree_util.tree_leaves(
                     (b.graph, b.x, b.y, b.mask, b.neg_graph))
             )
-            if total > budget:
-                print(f"cluster freeze: {total / 2**30:.1f} GiB exceeds "
-                      "DGL_TPU_CLUSTER_CACHE_GB — streaming instead")
-                self.freeze = False
+            budget = float(os.environ.get(
+                "DGL_TPU_CLUSTER_CACHE_GB", "3")) * (1 << 30)
+            if total <= budget:
+                self._frozen = [self._to_device(b) for b in host]
             else:
-                self._frozen = items
-            return iter(items)
+                # device budget exceeded: host-frozen — collation (the
+                # dominant cost: subgraph extract + sort + piece builds) is
+                # still paid once; per-step upload rides the prefetch thread
+                print(f"cluster freeze: {total / 2**30:.1f} GiB > budget — "
+                      "host-frozen (collated once, re-uploaded per step)")
+                self._frozen = host
+                self._frozen_host = True
         order = self.rng.permutation(len(self._frozen))
-        return iter([self._frozen[i] for i in order])
+        items = [self._frozen[i] for i in order]
+        if getattr(self, "_frozen_host", False):
+            return prefetch((self._to_device(b) for b in items),
+                            self.prefetch_depth)
+        return iter(items)
