@@ -129,7 +129,6 @@ def main():
 
     import dgl_tpu
     from dgl_tpu.data import load_node_dataset
-    from dgl_tpu.graph.reorder import apply_order, locality_order
     from dgl_tpu.train.timing import warm_readback
 
     # prepay the tunnel's ~60s first-readback-after-burst tax while the
@@ -138,20 +137,21 @@ def main():
     from dgl_tpu.models import GraphSAGE
     from dgl_tpu.ops.spmm import gspmm_chunked
 
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from common import prepare_full_graph  # noqa: E402  (cached host prep)
+
     data = load_node_dataset(args.dataset)
     t_setup0 = time.time()
-    src, dst = data.src, data.dst
-    features, labels, train_mask = data.features, data.labels, data.train_mask
-    if not args.no_lane and jax.default_backend() == "tpu":
+    lane = not args.no_lane and jax.default_backend() == "tpu"
+    # canonical build (dst-sort, reverse graph, seg/mxu blocks) through the
+    # shared disk cache — the uncached build was ~290s of the r4 bench's
+    # 299s setup_s; a warm cache read is seconds
+    g, features, labels, masks, _ = prepare_full_graph(
+        args.dataset, data, reorder=lane, order_key=args.dataset)
+    train_mask = masks["train"]
+    if lane:
         from dgl_tpu.data.loaders import data_root
-
-        order = locality_order(src, dst, data.num_nodes, seed=0,
-                               cache_dir=data_root(), cache_key=args.dataset)
-        src, dst, features, labels, train_mask, _ = apply_order(
-            order, src, dst, features, labels, train_mask
-        )
-    g = dgl_tpu.from_edges(src, dst, data.num_nodes)
-    if not args.no_lane and jax.default_backend() == "tpu":
         from dgl_tpu.kernels import attach_lane_plans
 
         g = attach_lane_plans(

@@ -29,16 +29,18 @@ RESULTS = os.environ.get(
 STATE = "/tmp/suite_watcher.state"
 LOG = "/tmp/suite_watcher.log"
 
-# Round 4: EVERY row re-measured fresh (no carryovers — VERDICT r3).
-# Never-measured rows first (products/ppa/cluster), then the previously
-# below-baseline rows (whose kernels changed this round), then re-measures.
+# Round 5: the healthy window is the scarce resource, so STEP-SENSITIVE
+# and light rows run first (they are the ones a degraded window poisons);
+# bulk/heavy rows (usable in a merely-ok window) run after. The three rows
+# measured early this round under the degraded tunnel (products/ppa/
+# cluster_sage) sort last so a long healthy window re-measures them too.
 ROW_ORDER = [
-    "products_sage", "ppa_gcn", "cluster_sage_products", "cluster_gat_products",
-    "arxiv_gat", "arxiv_sage", "pubmed_gat", "reddit_gat",
-    "cluster_lp_arxiv", "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
+    "arxiv_gat", "arxiv_sage", "pubmed_gat", "cora_sage", "pubmed_sage",
+    "cora_gat", "reddit_sage", "enzymes_gcn", "enzymes_gcn_b128",
+    "enzymes_gcn_b256", "gcmc_ml100k", "cluster_lp_arxiv",
     "molhiv_gcn", "molhiv_gcn_b128", "molhiv_gcn_b256", "molhiv_gcn_scatter",
-    "cora_sage", "pubmed_sage", "cora_gat", "reddit_sage",
-    "proteins_rgcn", "gcmc_ml100k", "ns_sage_reddit", "ns_gat_reddit",
+    "ns_sage_reddit", "ns_gat_reddit", "reddit_gat", "proteins_rgcn",
+    "cluster_gat_products", "products_sage", "cluster_sage_products", "ppa_gcn",
 ]
 
 # Health = steady-state DISPATCH latency of one cached jit (the thing a
