@@ -47,7 +47,10 @@ WORKLOADS = [
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "8", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--no-precompute",
                "--runs", "3"]},
-     {"time_args": ["--runs", "1", "--epochs", "60"],
+     # scan-epochs in the timing pass: the r2 row paid the tunnel's
+     # per-epoch fetch tax (~60ms on a 0.116s epoch — published 0.174 vs
+     # bench.py's 0.116 for the same config)
+     {"time_args": ["--runs", "1", "--epochs", "60", "--scan-epochs", "10"],
       "note": "runs capped 10->3"}),
     ("arxiv_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "8", "--runs", "1"],

@@ -63,6 +63,11 @@ def main():
                              "README.md:72)")
     parser.add_argument("--num-graphs", type=int, default=None,
                         help="subsample the dataset (synthetic scale knob)")
+    parser.add_argument("--fetch-every", type=int, default=1,
+                        help="host-sync the loss every K epochs (K>1 amortizes "
+                             "the tunnel's per-fetch latency across K epochs "
+                             "in degraded pool windows; timing stays unbiased "
+                             "as the mean over a block)")
     parser.add_argument("--scan-steps", action="store_true",
                         help="after epoch 1 builds the device-resident batch "
                              "cache, run each further epoch's train steps in "
@@ -232,7 +237,8 @@ def main():
                     params, batch_stats, opt_state, loss = train_step(
                         params, batch_stats, opt_state, batch, nf, ef, yv, sub
                     )
-            loss = float(loss)
+            if epoch % args.fetch_every == 0 or epoch == args.epochs:
+                loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)
                 print("Training time/epoch {}".format(np.mean(dur)))

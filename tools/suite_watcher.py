@@ -177,11 +177,13 @@ ROW_TIMEOUT_OVERRIDE = {
 # dispatches) run whenever the pool is merely usable.
 STEP_SENSITIVE = {
     "cora_sage", "pubmed_sage", "cora_gat", "pubmed_gat",
-    "arxiv_sage", "arxiv_gat", "reddit_sage",
     "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
     "gcmc_ml100k", "cluster_lp_arxiv",
     # molhiv/ppa/NS rows left OUT since --scan-steps (one lax.scan dispatch
-    # per epoch) made their timed region dispatch-count-independent
+    # per epoch) made their timed region dispatch-count-independent.
+    # arxiv_sage/arxiv_gat/reddit_sage also out (round 5): their timing
+    # passes are --scan-epochs'd, so the per-fetch tax amortizes to <=6ms
+    # against 0.11-1.05s epochs (<6%).
 }
 STEP_HEALTHY_MS = float(os.environ.get("STEP_HEALTHY_MS", "2"))
 
