@@ -86,26 +86,33 @@ WORKLOADS = [
                "--epochs", "120"]},
      {"time_args": ["--runs", "1", "--epochs", "100", "--scan-epochs", "10"],
       "note": "epochs capped 250->120, runs 10->1"}),
+    # --lane-kernel (round 5): proteins is the ideal lane case — plans
+    # cached at expansion 1.33 with 0% remainder (no hybrid dilution, the
+    # failure mode that sinks lane on arxiv); the rel-lane weighted path
+    # replaces the 8-relation chunked-XLA epoch (9.3 s r3)
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--runs", "1", "--epochs", "120"]},
+      "full": ["--runs", "1", "--epochs", "120", "--lane-kernel"]},
      {"time_args": ["--runs", "1", "--epochs", "100"],
       "note": "epochs capped 300->120, runs 10->1"}),
     # graph-classification batch-size axis {64,128,256} per dataset, matching
     # the reference's published sweep (README.md:57-67)
     ("enzymes_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1"],
-      "full": ["--dataset", "ENZYMES", "--scan-steps"]}),
+      "full": ["--dataset", "ENZYMES", "--scan-steps"]},
+     {"time_args": ["--runs", "1", "--fetch-every", "10"]}),
     ("enzymes_gcn_b128", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
                 "--batch_size", "128"],
       "full": ["--dataset", "ENZYMES", "--batch_size", "128", "--runs", "3", "--scan-steps"]},
-     {"note": "runs capped 10->3"}),
+     {"time_args": ["--runs", "1", "--fetch-every", "10"],
+      "note": "runs capped 10->3"}),
     ("enzymes_gcn_b256", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ENZYMES", "--epochs", "5", "--runs", "1",
                 "--batch_size", "256"],
       "full": ["--dataset", "ENZYMES", "--batch_size", "256", "--runs", "3", "--scan-steps"]},
-     {"note": "runs capped 10->3"}),
+     {"time_args": ["--runs", "1", "--fetch-every", "10"],
+      "note": "runs capped 10->3"}),
     ("molhiv_gcn", "graph_classification/main_gcn.py",
      {"smoke": ["--dataset", "ogbg-molhiv", "--num-graphs", "600", "--epochs", "4",
                 "--runs", "1", "--hidden_size", "64"],

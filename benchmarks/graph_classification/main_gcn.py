@@ -237,7 +237,10 @@ def main():
                     params, batch_stats, opt_state, loss = train_step(
                         params, batch_stats, opt_state, batch, nf, ef, yv, sub
                     )
-            if epoch % args.fetch_every == 0 or epoch == args.epochs:
+            # under --eval the per-epoch evaluate() would otherwise absorb
+            # the un-fetched compute OUTSIDE the timed region and the epoch
+            # would be reported as pure dispatch time — so always sync then
+            if args.eval or epoch % args.fetch_every == 0 or epoch == args.epochs:
                 loss = float(loss)
             if epoch >= 3:
                 dur.append(time.time() - t0)

@@ -175,16 +175,14 @@ ROW_TIMEOUT_OVERRIDE = {
 # publish numbers 10-30x worse than the framework's, so they only run in a
 # truly healthy window; the bulk rows (multi-second epochs of a few big
 # dispatches) run whenever the pool is merely usable.
-STEP_SENSITIVE = {
-    "cora_sage", "pubmed_sage", "cora_gat", "pubmed_gat",
-    "enzymes_gcn", "enzymes_gcn_b128", "enzymes_gcn_b256",
-    "gcmc_ml100k", "cluster_lp_arxiv",
-    # molhiv/ppa/NS rows left OUT since --scan-steps (one lax.scan dispatch
-    # per epoch) made their timed region dispatch-count-independent.
-    # arxiv_sage/arxiv_gat/reddit_sage also out (round 5): their timing
-    # passes are --scan-epochs'd, so the per-fetch tax amortizes to <=6ms
-    # against 0.11-1.05s epochs (<6%).
-}
+# Round 5: EMPTY. Every timing pass is now amortized (--scan-epochs on the
+# NC tiers, --scan-steps + --fetch-every on GC, --scan-iters on gcmc), so
+# the degraded-mode tax is <=1.2ms/epoch on the tiny rows — and a fresh
+# number with its probe_ms annotation beats a never-measured row (round 4's
+# failure mode was waiting for a healthy window that never came). If a
+# truly-healthy window appears, delete tiny rows from results.json and let
+# the watcher re-measure them there (each costs ~2-4 min).
+STEP_SENSITIVE = set()
 STEP_HEALTHY_MS = float(os.environ.get("STEP_HEALTHY_MS", "2"))
 
 
