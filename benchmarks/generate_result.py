@@ -57,15 +57,18 @@ WORKLOADS = [
       "full": ["--dataset", "ogbn-arxiv", "--lane-kernel", "--runs", "3"]},
      {"time_args": ["--runs", "1", "--epochs", "200", "--scan-epochs", "10"],
       "note": "runs capped 10->3"}),
-    # products: no --lane-kernel (the plan build is ~300s of host time per
-    # process for a plan that still leaves ~2/3 of the hub-heavy edge set on
-    # the XLA path) and few epochs — host prep alone (bidirect + reorder +
-    # CSR build on 124M edges) is ~2 min of the per-row budget
+    # products (round 5): force-attached lane + bf16 messages. The echunk
+    # XLA path measured 43.8 s/epoch (92M-edge gather at the row wall); the
+    # attach gate prices the row path at ONE row op per edge and rejects,
+    # but a full SpMM pass pays ~2 (gather + reduce) — force wins the real
+    # comparison (attach.py force note). Plans + reorder are disk-cached by
+    # tools/prewarm_caches.py so the row no longer pays the ~300s build.
     ("products_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--dataset", "ogbn-products", "--runs", "1", "--epochs", "20"]},
+      "full": ["--dataset", "ogbn-products", "--runs", "1", "--epochs", "20",
+               "--lane-kernel", "--lane-force", "--bf16-messages"]},
      {"time_args": ["--runs", "1", "--epochs", "12"],
-      "note": "epochs capped 500->20, runs 10->1"}),
+      "note": "epochs capped 500->20, runs 10->1; forced lane + bf16 messages"}),
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
@@ -78,7 +81,7 @@ WORKLOADS = [
      {"smoke": ["--dataset", "reddit", "--scale", "0.01", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "reddit", "--lane-kernel", "--runs", "1",
                "--epochs", "40"]},
-     {"time_args": ["--runs", "1", "--epochs", "60"],
+     {"time_args": ["--runs", "1", "--epochs", "60", "--scan-epochs", "10"],
       "note": "epochs capped 150->40, runs 10->1"}),
     ("arxiv_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "ogbn-arxiv", "--scale", "0.05", "--epochs", "6", "--runs", "1"],

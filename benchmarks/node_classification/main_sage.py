@@ -178,6 +178,11 @@ def main():
                         help="relabel nodes by a locality partition and attach "
                              "Pallas lane-SpMM plans (auto-fallback when the "
                              "graph tiles too sparsely)")
+    parser.add_argument("--lane-force", action="store_true",
+                        help="bypass the lane attach gate's 2x rule (sets "
+                             "DGL_TPU_LANE_FORCE_ATTACH; for graphs like "
+                             "products where a full SpMM pass pays ~2 row ops "
+                             "but the gate prices the row path at one)")
     parser.add_argument("--bf16-messages", action="store_true",
                         help="bf16 neighbor messages (halves the E x D "
                              "intermediate; f32 accumulation)")
@@ -234,6 +239,8 @@ def main():
     if args.lane_kernel:
         from dgl_tpu.kernels import attach_lane_plans
 
+        if args.lane_force:
+            os.environ["DGL_TPU_LANE_FORCE_ATTACH"] = "1"
         g = attach_lane_plans(
             g, cache_dir=data_root(), cache_key=f"{args.dataset}_s{args.scale}"
         )
