@@ -72,17 +72,25 @@ def edge_softmax(g: Graph, logits: jnp.ndarray, dst_bound=None) -> jnp.ndarray:
     denom = spread_dst(g, denom)
     tiny = jnp.finfo(expz.dtype).tiny
     if dst_bound is None:
+        # exact shift: every non-empty destination has one edge at
+        # shifted == 0, so denom >= 1 and the quotient backward is safe
         return expz / jnp.maximum(denom, tiny)
 
-    # Underflow guard (ADVICE r4): a bound more than ~88 above a
-    # destination's true in-edge max (f32 exp range) underflows EVERY exp
-    # for that destination, and the tiny-clamp would then return all-zero
-    # attention for the row with no diagnostic. `denom == 0` on a live edge
-    # is exactly that failure (a sane bound keeps at least one term
-    # ≥ exp(-looseness) > 0), so detect it with a cheap full reduce and
-    # rescue by re-running the exact segment-max formulation — only paid
-    # when actually tripped.
-    bad = jnp.any(m & (denom <= tiny))
+    # Loose-bound guard (ADVICE r4, widened round 5): a bound far above a
+    # destination's true in-edge max shrinks that row's denom toward 0.
+    # TWO failure modes, not one:
+    #   * looseness > ~88: every exp underflows, denom == 0, the clamp
+    #     returns silent all-zero attention;
+    #   * looseness > ~22 already: denom < ~1e-10 and the quotient-rule
+    #     BACKWARD carries 1/denom^2, which overflows f32 (inf * 0 = NaN)
+    #     once denom < ~1e-19 — measured: cora GAT (feat_drop 0.6 widens
+    #     the logit spread to ~55) NaN'd its params in the FIRST backward
+    #     and published 14% (= random) accuracy.
+    # Rescue well before either wall: any live denom <= 1e-12 re-runs the
+    # exact segment-max formulation; the clamp at the same eps keeps the
+    # backward finite for rows that pass the check.
+    eps = jnp.asarray(1e-12, expz.dtype)
+    bad = jnp.any(m & (denom <= eps))
 
     def _exact(operand):
         lg, mm = operand
@@ -98,6 +106,6 @@ def edge_softmax(g: Graph, logits: jnp.ndarray, dst_bound=None) -> jnp.ndarray:
 
     def _loose(operand):
         del operand
-        return expz / jnp.maximum(denom, tiny)
+        return expz / jnp.maximum(denom, eps)
 
     return jax.lax.cond(bad, _exact, _loose, (logits, m))

@@ -183,6 +183,35 @@ def test_edge_softmax_loose_bound_rescued(rng):
     np.testing.assert_allclose(alpha_ok, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_edge_softmax_loose_bound_grad_finite(rng):
+    """Backward through the loose-bound path: a bound ~40-80 above the true
+    max shrinks denom to ~exp(-looseness); the quotient backward carries
+    1/denom^2, which overflowed f32 (inf * 0 = NaN) before the round-5
+    eps-rescue widening. Measured in the wild: cora GAT (feat_drop 0.6
+    widens the logit spread to ~55) NaN'd its params in the FIRST backward
+    and published random-accuracy rows. Grads must stay finite for bounds
+    on BOTH sides of the rescue threshold."""
+    n, n_e = 12, 40
+    src = rng.integers(0, n, size=n_e)
+    dst = rng.integers(0, n, size=n_e)
+    g = from_edges(src, dst, n, n)
+    logits = jnp.asarray(rng.standard_normal((n_e, 2)).astype(np.float32))
+
+    for loose in (15.0, 40.0, 60.0, 200.0):
+        bound = jnp.full((n,), float(logits.max()) + loose, jnp.float32)
+
+        def f(l):
+            a = edge_softmax(g, g.permute_edata(l), dst_bound=bound)
+            return jnp.sum(a ** 2)
+
+        grad = jax.grad(f)(logits)
+        assert np.all(np.isfinite(np.asarray(grad))), f"loose={loose}"
+        # and the values themselves still match the exact softmax
+        ref = np.asarray(edge_softmax(g, g.permute_edata(logits)))
+        got = np.asarray(edge_softmax(g, g.permute_edata(logits), dst_bound=bound))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+
+
 def test_edge_softmax_grad_finite(rng):
     n, n_e = 6, 15
     src = rng.integers(0, n, size=n_e)
