@@ -108,7 +108,7 @@ def main():
             base = os.path.dirname(os.path.abspath(__file__))
             try:
                 row = None
-                for rec_dir in ("suite_r04", "suite_r03"):
+                for rec_dir in ("suite_r05", "suite_r04", "suite_r03"):
                     rec = os.path.join(base, "docs", rec_dir, "results.json")
                     if os.path.exists(rec):
                         row = next((r for r in json.load(open(rec))

@@ -155,9 +155,13 @@ WORKLOADS = [
      {"smoke": ["--scale", "0.01", "--num-epochs", "7"],
       "full": ["--num-epochs", "12", "--scan-steps"]},
      {"no_eval": True}),
+    # no --scan-steps here: the scan body's sampling+attention temps OOM
+    # HBM for 8-head GAT blocks (ns_sage scans fine); the per-step device
+    # loop syncs only every log_every=20 steps, so the degraded-window tax
+    # is ~1.5 s/epoch on a ~12 s epoch
     ("ns_gat_reddit", "sampling/ns_gat.py",
      {"smoke": ["--scale", "0.01", "--num-epochs", "7"],
-      "full": ["--num-epochs", "12", "--scan-steps"]},
+      "full": ["--num-epochs", "12"]},
      {"no_eval": True}),
     ("cluster_sage_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50"],
