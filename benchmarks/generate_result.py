@@ -89,15 +89,17 @@ WORKLOADS = [
                "--epochs", "120"]},
      {"time_args": ["--runs", "1", "--epochs", "100", "--scan-epochs", "10"],
       "note": "epochs capped 250->120, runs 10->1"}),
-    # --lane-kernel (round 5): proteins is the ideal lane case — plans
-    # cached at expansion 1.33 with 0% remainder (no hybrid dilution, the
-    # failure mode that sinks lane on arxiv); the rel-lane weighted path
-    # replaces the 8-relation chunked-XLA epoch (9.3 s r3)
+    # rel-lane attempt (round 5) failed at REMOTE COMPILE (HTTP 500 from
+    # tpu_compile_helper on the forced-lane train_step — the tunnel
+    # compiler rejects the rel-lane step; plans themselves attach fine at
+    # expansion 1.33 / 0% remainder). Row stays on the chunked-XLA path;
+    # epochs capped tighter to fit the round's measurement window (epoch
+    # time is epoch-count-independent, synthetic accuracy saturates early).
     ("proteins_rgcn", "node_classification/main_rgcn.py",
      {"smoke": ["--scale", "0.002", "--epochs", "6", "--runs", "1"],
-      "full": ["--runs", "1", "--epochs", "120", "--lane-kernel"]},
-     {"time_args": ["--runs", "1", "--epochs", "100"],
-      "note": "epochs capped 300->120, runs 10->1"}),
+      "full": ["--runs", "1", "--epochs", "60"]},
+     {"time_args": ["--runs", "1", "--epochs", "40"],
+      "note": "epochs capped 300->60, runs 10->1"}),
     # graph-classification batch-size axis {64,128,256} per dataset, matching
     # the reference's published sweep (README.md:57-67)
     ("enzymes_gcn", "graph_classification/main_gcn.py",
