@@ -168,9 +168,15 @@ WORKLOADS = [
     ("cluster_sage_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50"],
       "full": ["--n-epochs", "10", "--freeze-clusters"]}),
+    # no --freeze-clusters for GAT: the frozen-cluster device cache plus
+    # the attention edge tensors OOM HBM (measured r5, buffer dump at
+    # wall 1271s); clusters stream from host instead, epochs trimmed to
+    # fit the row budget
     ("cluster_gat_products", "sampling/cluster_sage.py",
      {"smoke": ["--scale", "0.002", "--n-epochs", "4", "--psize", "50", "--model", "gat"],
-      "full": ["--n-epochs", "10", "--model", "gat", "--freeze-clusters"]}),
+      "full": ["--n-epochs", "6", "--model", "gat"]},
+     {"note": "epochs 10->6; host-streamed clusters (device cache + "
+              "attention OOMs HBM)"}),
     ("cluster_lp_arxiv", "link_prediction/cluster_gcn_lp.py",
      {"smoke": ["--scale", "0.05", "--n-epochs", "3", "--psize", "50"],
       "full": ["--n-epochs", "20"]}),
