@@ -48,6 +48,11 @@ def main():
                 r["time_per_epoch"] = p["time_per_epoch"]
             if p and p.get("final_test") and not r.get("final_test"):
                 r["final_test"] = p["final_test"]
+        # a workload present only in the previous file (deleted from the
+        # live results for a re-measure that never got a window) still
+        # belongs in the published table — carry it over as-is
+        have = {r["workload"] for r in rows}
+        rows += [p for w, p in prev.items() if w not in have]
 
     lines = [
         "| workload | epoch (s) | V100 DGL baseline (s) | ratio | "
