@@ -66,9 +66,13 @@ WORKLOADS = [
     ("products_sage", "node_classification/main_sage.py",
      {"smoke": ["--dataset", "ogbn-products", "--scale", "0.002", "--epochs", "6", "--runs", "1"],
       "full": ["--dataset", "ogbn-products", "--runs", "1", "--epochs", "20",
-               "--lane-kernel", "--lane-force", "--bf16-messages"]},
+               "--lane-kernel", "--lane-force", "--bf16-messages",
+               "--no-precompute"]},
      {"time_args": ["--runs", "1", "--epochs", "12"],
-      "note": "epochs capped 500->20, runs 10->1; forced lane + bf16 messages"}),
+      "note": "epochs capped 500->20, runs 10->1; forced lane + bf16 "
+              "messages, unhoisted (the f32 100-d x_agg precompute faulted "
+              "the device under lane plans; the reference never hoists "
+              "either)"}),
     ("cora_gat", "node_classification/main_gat.py",
      {"smoke": ["--dataset", "cora", "--epochs", "10", "--runs", "2"],
       "full": ["--dataset", "cora"]},
